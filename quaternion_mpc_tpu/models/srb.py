@@ -1,0 +1,196 @@
+"""Single-rigid-body (SRB) dynamics for legged MPC, batched and jittable.
+
+Two model families, mirroring the reference semantics (but re-derived as
+vectorized jnp code with *data* parameters so every branch config — Go1 walk,
+falling-cat airborne, spider-dog chimney, humanoid biped — is a parameter
+choice, not new code):
+
+- Quaternion SRB, body frame:  x = [p(3), q(4), v(3), ω(3)], u = (3·n_feet,)
+  (reference: ``legged_ctrl/src/utils/AltroUtils.cpp:363-439`` 4-contact and
+  ``:441-513`` 2-contact "trot" variants — here one function over any foot count)
+- Euler SRB, world frame:      x = [rpy(3), p(3), ω(3), v(3)], u = (3·n_feet,)
+  (reference: ``AltroUtils.cpp:224-359``)
+
+Deliberate reference modeling choices preserved for fixture fidelity:
+- no gyroscopic term ω×Iω (commented out at ``AltroUtils.cpp:390-391``),
+- CoM-offset gravity moment uses the *trunk* mass (``:373-374``),
+- gravity is rotated by a frozen per-solve rotation matrix parameter, NOT the
+  state quaternion (``QuatMpc.cpp:184-189`` passes feedback attitude),
+- the Euler Jacobian drops d(B·u)/dyaw and rows 6: wrt x (``:352-359``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from quaternion_mpc_tpu.ops import lie
+
+GRAVITY = 9.81
+
+
+class SrbParams(NamedTuple):
+    """Frozen per-solve parameters of the SRB model (a pytree; batchable).
+
+    foot_pos: (n_feet, 3) foot positions (body frame for the quat model,
+        absolute/CoM frame for the Euler model).
+    inertia: (3, 3) rigid-body inertia used in the MPC model.
+    mass: total robot mass.
+    com_offset: (3,) trunk CoM offset for the gravity moment.
+    com_mass: mass used in the CoM gravity moment (reference uses trunk mass).
+    rot_body_to_world: (3, 3) frozen attitude for gravity projection (quat
+        model) / inertia rotation (Euler model).
+    """
+
+    foot_pos: jnp.ndarray
+    inertia: jnp.ndarray
+    mass: jnp.ndarray
+    com_offset: jnp.ndarray
+    com_mass: jnp.ndarray
+    rot_body_to_world: jnp.ndarray
+
+    @property
+    def n_feet(self) -> int:
+        return self.foot_pos.shape[-2]
+
+
+def go1_params(
+    foot_pos=None,
+    inertia_scale: float = 12.84 / 5.204,
+    mass: float = 12.84,
+    rot_body_to_world=None,
+    com_offset=(0.0223, 0.002, -0.0005),
+    dtype=jnp.float64,
+) -> SrbParams:
+    """Go1 constants (config/gazebo_go1_quat_mpc.yaml:115-122, QuatMpc.cpp:180-182)."""
+    trunk_inertia = np.diag([0.0168128557, 0.063009565, 0.0716547275])
+    if foot_pos is None:
+        # default stance feet, body frame (TestAltroQuatMpc.cpp:41-44)
+        foot_pos = np.array(
+            [
+                [0.2104, 0.13, -0.325],
+                [0.2104, -0.13, -0.325],
+                [-0.1658, 0.13, -0.325],
+                [-0.1658, -0.13, -0.325],
+            ]
+        )
+    if rot_body_to_world is None:
+        rot_body_to_world = np.eye(3)
+    return SrbParams(
+        foot_pos=jnp.asarray(foot_pos, dtype=dtype),
+        inertia=jnp.asarray(inertia_scale * trunk_inertia, dtype=dtype),
+        mass=jnp.asarray(mass, dtype=dtype),
+        com_offset=jnp.asarray(com_offset, dtype=dtype),
+        com_mass=jnp.asarray(5.204, dtype=dtype),
+        rot_body_to_world=jnp.asarray(rot_body_to_world, dtype=dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quaternion SRB (body frame): x = [p, q, v, ω]
+# ---------------------------------------------------------------------------
+
+
+def quat_srb_dynamics(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp.ndarray:
+    """Continuous-time quaternion SRB dynamics ẋ(x, u). Shapes: x (13,), u (3·n_feet,)."""
+    q = x[3:7]
+    v = x[7:10]
+    omega = x[10:13]
+
+    g_world = jnp.array([0.0, 0.0, -GRAVITY], dtype=x.dtype)
+    g_body = p.rot_body_to_world.T @ g_world
+
+    forces = u.reshape(-1, 3)  # (n_feet, 3), body frame
+    total_force = jnp.sum(forces, axis=0)
+    moment = jnp.sum(jnp.cross(p.foot_pos, forces), axis=0) + jnp.cross(
+        p.com_offset, p.com_mass * g_body
+    )
+
+    p_dot = v
+    q_dot = 0.5 * (lie.quat_G(q) @ omega)
+    v_dot = total_force / p.mass + g_body
+    omega_dot = jnp.linalg.solve(p.inertia, moment)
+    return jnp.concatenate([p_dot, q_dot, v_dot, omega_dot])
+
+
+def quat_srb_jacobian(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp.ndarray:
+    """Analytic Jacobian [∂ẋ/∂x, ∂ẋ/∂u] of `quat_srb_dynamics`, (13, 13+3·n_feet)."""
+    del u  # dynamics are affine in u
+    q = x[3:7]
+    omega = x[10:13]
+    dtype = x.dtype
+    n_u = p.foot_pos.shape[-2] * 3
+
+    A = jnp.zeros((13, 13), dtype=dtype)
+    A = A.at[0:3, 7:10].set(jnp.eye(3, dtype=dtype))
+    # dq̇/dq = ½ R([0, ω]) (right-multiplication matrix of the pure quaternion ω)
+    omega_quat = jnp.concatenate([jnp.zeros((1,), dtype=dtype), omega])
+    A = A.at[3:7, 3:7].set(0.5 * lie.quat_R(omega_quat))
+    # dq̇/dω = ½ G(q)
+    A = A.at[3:7, 10:13].set(0.5 * lie.quat_G(q))
+    # (gyroscopic dω̇/dω intentionally omitted — reference AltroUtils.cpp:425)
+
+    inertia_inv = jnp.linalg.inv(p.inertia)
+    dvdot_du = jnp.tile(jnp.eye(3, dtype=dtype) / p.mass, (1, p.foot_pos.shape[-2]))
+    # (3, 3·n_feet) block of I⁻¹·skew(r_i) per foot
+    dwdot_du = jnp.einsum("ab,fbc->afc", inertia_inv, lie.skew(p.foot_pos)).reshape(3, n_u)
+
+    B = jnp.zeros((13, n_u), dtype=dtype)
+    B = B.at[7:10, :].set(dvdot_du)
+    B = B.at[10:13, :].set(dwdot_du)
+    return jnp.concatenate([A, B], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Euler SRB (world frame): x = [rpy, p, ω_world, v_world]
+# ---------------------------------------------------------------------------
+
+
+def _euler_srb_matrices(x: jnp.ndarray, p: SrbParams):
+    dtype = x.dtype
+    yaw = x[2]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    # world angular velocity -> rpy rate (yaw-only approximation, AltroUtils.cpp:256-259)
+    ang_vel_to_rpy = jnp.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]], dtype=dtype)
+    rot_z = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], dtype=dtype)
+    inertia_world = rot_z @ p.inertia @ rot_z.T
+    inertia_world_inv = jnp.linalg.inv(inertia_world)
+
+    n_feet = p.foot_pos.shape[-2]
+    n_u = 3 * n_feet
+    A = jnp.zeros((12, 12), dtype=dtype)
+    A = A.at[0:3, 6:9].set(ang_vel_to_rpy)
+    A = A.at[3:6, 9:12].set(jnp.eye(3, dtype=dtype))
+
+    dwdot_du = jnp.einsum("ab,fbc->afc", inertia_world_inv, lie.skew(p.foot_pos)).reshape(3, n_u)
+    B = jnp.zeros((12, n_u), dtype=dtype)
+    B = B.at[6:9, :].set(dwdot_du)
+    B = B.at[9:12, :].set(jnp.tile(jnp.eye(3, dtype=dtype) / p.mass, (1, n_feet)))
+    return A, B
+
+
+def euler_srb_dynamics(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp.ndarray:
+    """Continuous-time Euler SRB: ẋ = A(yaw)·x + B(yaw)·u + g. Shapes: x (12,)."""
+    A, B = _euler_srb_matrices(x, p)
+    g = jnp.zeros((12,), dtype=x.dtype).at[11].set(-GRAVITY)
+    return A @ x + B @ u + g
+
+
+def euler_srb_jacobian(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp.ndarray:
+    """Reference-faithful approximate Jacobian (AltroUtils.cpp:352-359).
+
+    Keeps d(rpy_rate)/dyaw and the constant blocks; drops d(B·u)/dyaw.
+    """
+    del u
+    A, B = _euler_srb_matrices(x, p)
+    dtype = x.dtype
+    yaw = x[2]
+    wx, wy = x[6], x[7]
+    J = jnp.zeros((12, 12 + B.shape[1]), dtype=dtype)
+    J = J.at[0, 2].set(wy * jnp.cos(yaw) - wx * jnp.sin(yaw))
+    J = J.at[1, 2].set(-wx * jnp.cos(yaw) - wy * jnp.sin(yaw))
+    J = J.at[0:6, 6:12].set(A[0:6, 6:12])
+    J = J.at[6:12, 12:].set(B[6:12, :])
+    return J
