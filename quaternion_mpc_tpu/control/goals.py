@@ -1,0 +1,103 @@
+"""Goal update: joystick command → filtered desired state (pure, explicit state).
+
+Mirrors ``QuatMpc::goal_update`` (``QuatMpc.cpp:68-107``) and the desired-
+quaternion integration in ``grf_update`` (:127-146): 100-sample moving-average
+filters on body-frame velocity/position commands, desired-position integration
+at the 5 ms outer-loop period, and q_d ← normalize(q_d + ½G(q_d)ω_d·dt).
+Includes the sinusoidal attitude test mode (:140-146).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from quaternion_mpc_tpu.control.types import Command, RobotFeedback
+from quaternion_mpc_tpu.ops import lie
+from quaternion_mpc_tpu.utils import filters
+
+OUTER_DT = 5.0 / 1000.0  # goal integration period (QuatMpc.cpp:97,132)
+FILTER_WINDOW = 100       # MovingWindowFilter(100) (QuatMpc.cpp:10-11)
+
+
+class JoyCommand(NamedTuple):
+    velx: jnp.ndarray
+    vely: jnp.ndarray
+    body_height: jnp.ndarray
+    roll_rate: jnp.ndarray
+    pitch_rate: jnp.ndarray
+    yaw_rate: jnp.ndarray
+    sin_ang_vel: jnp.ndarray  # bool — sinusoidal attitude test mode
+
+
+class GoalState(NamedTuple):
+    torso_pos_d_world: jnp.ndarray  # (3,)
+    quat_d: jnp.ndarray             # (4,)
+    vel_filter: filters.WindowState  # body-frame velocity command filter (3 ch)
+    pos_filter: filters.WindowState  # body-frame position error filter (3 ch)
+    attitude_count: jnp.ndarray     # sin test counter
+
+
+def init_goal_state(fbk: RobotFeedback, window: int = FILTER_WINDOW) -> GoalState:
+    dtype = fbk.torso_quat.dtype
+    ident = jnp.zeros((4,), dtype=dtype).at[0].set(1.0)
+    return GoalState(
+        torso_pos_d_world=fbk.torso_pos_world,
+        quat_d=ident,
+        vel_filter=filters.window_init(window, (3,), dtype),
+        pos_filter=filters.window_init(window, (3,), dtype),
+        attitude_count=jnp.zeros((), dtype=dtype),
+    )
+
+
+def goal_update(
+    state: GoalState, fbk: RobotFeedback, joy: JoyCommand, contacts: jnp.ndarray
+) -> Tuple[GoalState, Command]:
+    dtype = fbk.torso_quat.dtype
+    rot = lie.quat_to_rotmat(fbk.torso_quat)
+    yaw = lie.quat_to_euler(fbk.torso_quat)[2]
+    rot_z = lie.rotz(yaw)
+
+    # velocity goal: joystick in yaw frame → world → body, filtered (:80-89)
+    vel_d_rel = jnp.stack([joy.velx, joy.vely, jnp.zeros_like(joy.velx)])
+    vel_d_world = rot_z @ vel_d_rel
+    vel_d_body = rot.T @ vel_d_world
+    vel_filter, vel_d_body_f = filters.window_update(state.vel_filter, vel_d_body)
+
+    # desired position integration (:96-99)
+    pos_d_world = state.torso_pos_d_world
+    pos_d_world = pos_d_world.at[0].add(vel_d_world[0] * OUTER_DT)
+    pos_d_world = pos_d_world.at[1].add(vel_d_world[1] * OUTER_DT)
+    pos_d_world = pos_d_world.at[2].set(joy.body_height)
+    pos_d_body = rot.T @ (pos_d_world - fbk.torso_pos_world)
+    pos_filter, pos_d_body_f = filters.window_update(state.pos_filter, pos_d_body)
+
+    # desired attitude integration (:127-137)
+    ang_vel_d = jnp.stack([joy.roll_rate, joy.pitch_rate, joy.yaw_rate])
+    quat_d = state.quat_d + 0.5 * (lie.quat_G(state.quat_d) @ ang_vel_d) * OUTER_DT
+    quat_d = lie.quat_normalize(quat_d)
+
+    # sinusoidal attitude test mode (:140-146)
+    amp = 3.14 / 8.0
+    phase = 2.0 * 3.14 / 900.0 * state.attitude_count
+    sin_euler = jnp.full((3,), amp * jnp.sin(phase), dtype=dtype)
+    quat_sin = lie.euler_to_quat(sin_euler)
+    quat_d = jnp.where(joy.sin_ang_vel, quat_sin, quat_d)
+    attitude_count = state.attitude_count + joy.sin_ang_vel.astype(dtype)
+
+    new_state = GoalState(
+        torso_pos_d_world=pos_d_world,
+        quat_d=quat_d,
+        vel_filter=vel_filter,
+        pos_filter=pos_filter,
+        attitude_count=attitude_count,
+    )
+    cmd = Command(
+        pos_body_d=pos_d_body_f,
+        lin_vel_body_d=vel_d_body_f,
+        quat_d=quat_d,
+        ang_vel_body_d=ang_vel_d,
+        contacts=contacts,
+    )
+    return new_state, cmd

@@ -1,0 +1,184 @@
+"""Quaternion MPC controller: assembles a `TrajOptProblem` from feedback +
+command and extracts GRFs from the solution.
+
+Semantics mirror ``legged_ctrl/src/mpc/QuatMpc.cpp:109-276`` (grf_update):
+- reference build: body-frame position ramp from the filtered command,
+  constant desired quaternion, filtered velocity reference, weight-split
+  u_ref over planned contacts (:148-176);
+- model: body-frame quaternion SRB with inertia = 1.2·I_trunk (:182) and the
+  feedback attitude frozen into gravity projection (:184-189);
+- friction pyramid rotated into the world frame: C·R(q)·u + b ≤ 0 with
+  per-leg fz_max gating (:47-52, :194-215);
+- x_init in body-centric coordinates (position zeroed); the reference's
+  comma-typo at :242 makes initial ω always zero — kept behind
+  ``zero_initial_omega`` (default True) for parity.
+
+Unlike the reference (fresh ALTROSolver per tick, :218), problem assembly is
+pure array work fused into the same jitted step as the solve.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from quaternion_mpc_tpu.control.types import Command, ControlOutput, RobotFeedback
+from quaternion_mpc_tpu.models.srb import SrbParams, quat_srb_dynamics, quat_srb_jacobian
+from quaternion_mpc_tpu.ops import lie
+from quaternion_mpc_tpu.solver import (
+    CostSpec,
+    ModelSpec,
+    SolverOptions,
+    TrajOptProblem,
+    make_solver,
+)
+from quaternion_mpc_tpu.utils import config as cfg_mod
+
+GRAVITY = 9.81
+
+# one leg's friction-pyramid rows (QuatMpc.cpp:47-52):
+#   fx−μfz, −fx−μfz, fy−μfz, −fy−μfz, fz−fz_max, −fz  ≤ 0
+_CONE = np.array(
+    [
+        [1.0, 0.0, 0.0],
+        [-1.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0],
+        [0.0, -1.0, 0.0],
+        [0.0, 0.0, 1.0],
+        [0.0, 0.0, -1.0],
+    ]
+)
+_CONE_MU = np.array([1.0, 1.0, 1.0, 1.0, 0.0, 0.0])
+
+
+def cone_matrix(mu, dtype):
+    C = jnp.asarray(_CONE, dtype=dtype)
+    return C.at[:, 2].add(-mu * jnp.asarray(_CONE_MU, dtype=dtype))
+
+
+class QuatMpcWeights(NamedTuple):
+    """Numeric controller parameters (pytree; batchable for scenario sweeps)."""
+
+    Qd: jnp.ndarray          # (13,)
+    Rd: jnp.ndarray          # (12,)
+    w: jnp.ndarray
+    mu: jnp.ndarray
+    fz_max: jnp.ndarray
+    mass: jnp.ndarray
+    trunk_mass: jnp.ndarray
+    inertia: jnp.ndarray     # (3,3) MPC model inertia (1.2·I_trunk)
+    com_offset: jnp.ndarray  # (3,)
+    h: jnp.ndarray           # seconds
+
+
+def weights_from_config(cfg: cfg_mod.FrameworkConfig, dtype=jnp.float32) -> QuatMpcWeights:
+    m = cfg.mpc
+    r = cfg.robot
+    return QuatMpcWeights(
+        Qd=jnp.asarray(m.q_weights, dtype=dtype),
+        Rd=jnp.asarray(m.r_weights, dtype=dtype),
+        w=jnp.asarray(m.w, dtype=dtype),
+        mu=jnp.asarray(m.mu, dtype=dtype),
+        fz_max=jnp.asarray(m.fz_max, dtype=dtype),
+        mass=jnp.asarray(r.mass, dtype=dtype),
+        trunk_mass=jnp.asarray(r.trunk_mass, dtype=dtype),
+        inertia=jnp.asarray(1.2 * np.diag(r.trunk_inertia), dtype=dtype),
+        com_offset=jnp.asarray(r.com_offset, dtype=dtype),
+        h=jnp.asarray(m.update_period_ms / 1000.0, dtype=dtype),
+    )
+
+
+MODEL_SPEC = ModelSpec(
+    nx=13, nu=12, f=quat_srb_dynamics, fj=quat_srb_jacobian, quat_idx=3
+)
+
+
+def build_problem(
+    fbk: RobotFeedback,
+    cmd: Command,
+    wts: QuatMpcWeights,
+    horizon: int,
+    zero_initial_omega: bool = True,
+) -> TrajOptProblem:
+    dtype = fbk.torso_quat.dtype
+    n_feet = fbk.foot_pos_body.shape[-2]
+    rot = lie.quat_to_rotmat(fbk.torso_quat)
+
+    # references over the horizon (QuatMpc.cpp:148-176)
+    num_contacts = jnp.maximum(jnp.sum(cmd.contacts), 1.0)
+    fz_share = cmd.contacts * wts.mass * GRAVITY / num_contacts
+    u_ref_k = jnp.concatenate(
+        [jnp.zeros((n_feet, 2), dtype=dtype), fz_share[:, None]], axis=-1
+    ).reshape(-1)
+    u_ref = jnp.tile(u_ref_k, (horizon + 1, 1))
+
+    steps = jnp.arange(horizon + 1, dtype=dtype)[:, None]
+    pos_ref = cmd.pos_body_d + cmd.lin_vel_body_d * steps * wts.h
+    pos_ref = pos_ref.at[:, 2].set(cmd.pos_body_d[2])
+    quat_ref = jnp.tile(cmd.quat_d, (horizon + 1, 1))
+    vel_ref = jnp.tile(cmd.lin_vel_body_d, (horizon + 1, 1))
+    omega_ref = jnp.zeros((horizon + 1, 3), dtype=dtype)  # :172 commented out
+    x_ref = jnp.concatenate([pos_ref, quat_ref, vel_ref, omega_ref], axis=-1)
+
+    params = SrbParams(
+        foot_pos=fbk.foot_pos_body,
+        inertia=wts.inertia,
+        mass=wts.mass,
+        com_offset=wts.com_offset,
+        com_mass=wts.trunk_mass,
+        rot_body_to_world=rot,
+    )
+
+    # friction pyramid in world frame: C·R·u_leg + b ≤ 0 (QuatMpc.cpp:194-215)
+    C_world = cone_matrix(wts.mu, dtype) @ rot  # (6, 3)
+    Cu = jnp.kron(jnp.eye(n_feet, dtype=dtype), C_world)
+    cb = jnp.zeros((6 * n_feet,), dtype=dtype)
+    cb = cb.at[4::6].set(-wts.fz_max * cmd.contacts)
+
+    v_body = rot.T @ fbk.torso_lin_vel_world
+    omega0 = jnp.zeros((3,), dtype=dtype) if zero_initial_omega else fbk.torso_ang_vel_body
+    x0 = jnp.concatenate(
+        [jnp.zeros((3,), dtype=dtype), fbk.torso_quat, v_body, omega0]
+    )
+
+    return TrajOptProblem(
+        x0=x0,
+        cost=CostSpec(Qd=wts.Qd, Rd=wts.Rd, w=wts.w, x_ref=x_ref, u_ref=u_ref),
+        Cu=Cu,
+        cb=cb,
+        h=wts.h,
+        params=params,
+        us_init=u_ref[:horizon],
+    )
+
+
+def make_controller(
+    horizon: int,
+    opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=5),
+    zero_initial_omega: bool = True,
+):
+    """Returns grf_update(fbk, cmd, wts) -> (ControlOutput, Solution).
+
+    Solver budget default mirrors the online config (iterations_max=10 at
+    QuatMpc.cpp:22 — here 2 AL × 5 iLQR); jit/vmap the returned callable.
+    """
+    solver = make_solver(MODEL_SPEC, opts)
+
+    def grf_update(fbk: RobotFeedback, cmd: Command, wts: QuatMpcWeights):
+        prob = build_problem(fbk, cmd, wts, horizon, zero_initial_omega)
+        sol = solver(prob)
+        rot = lie.quat_to_rotmat(fbk.torso_quat)
+        grf_body = sol.us[0].reshape(-1, 3)
+        out = ControlOutput(
+            grf_body=grf_body,
+            grf_world=grf_body @ rot.T,
+            foot_pos_target_world=jnp.zeros_like(fbk.foot_pos_body),
+            foot_vel_target_world=jnp.zeros_like(fbk.foot_pos_body),
+            mpc_cost=sol.stats.cost,
+            mpc_iterations=sol.stats.iterations,
+        )
+        return out, sol
+
+    return grf_update

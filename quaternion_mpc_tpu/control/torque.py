@@ -1,0 +1,57 @@
+"""Low-level torque mapping: the reference's 4 kHz "whole-body" layer
+(``BaseInterface::tau_ctrl_update``, ``BaseInterface.cpp:344-408``) as one
+pure batched function:
+
+- swing legs: IK joint targets + J⁻¹ velocity targets, PD + zero feedforward;
+- stance legs: τ = −Jᵀ f with the optimized GRF (body frame);
+- NaN guards replaced by workspace-clamped IK (kin.leg.ik never NaNs).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from quaternion_mpc_tpu.control.types import ControlOutput, RobotFeedback
+from quaternion_mpc_tpu.kin import leg
+from quaternion_mpc_tpu.ops import lie
+
+
+class JointTargets(NamedTuple):
+    q: jnp.ndarray    # (n_legs, 3)
+    dq: jnp.ndarray   # (n_legs, 3)
+    tau: jnp.ndarray  # (n_legs, 3)
+
+
+def tau_ctrl_update(
+    fbk: RobotFeedback,
+    out: ControlOutput,
+    rho_fix: jnp.ndarray,
+    contacts: jnp.ndarray,
+) -> JointTargets:
+    n_legs = fbk.foot_pos_body.shape[-2]
+    rot = lie.quat_to_rotmat(fbk.torso_quat)
+    q = fbk.joint_pos.reshape(n_legs, 3)
+    dq = fbk.joint_vel.reshape(n_legs, 3)
+
+    # swing: world target → body, IK (BaseInterface.cpp:349-355)
+    foot_target_body = (out.foot_pos_target_world - fbk.torso_pos_world) @ rot
+    q_tgt = leg.ik(foot_target_body, rho_fix)
+
+    foot_vel_body = (out.foot_vel_target_world - fbk.torso_lin_vel_world) @ rot
+    J = leg.jac(q, rho_fix)
+    dq_tgt = jnp.linalg.solve(J, foot_vel_body[..., None])[..., 0]
+
+    # stance: τ = −Jᵀ f (body-frame GRF), swing: τ = 0 (:367-371)
+    tau_stance = -jnp.einsum("ljk,lj->lk", J, out.grf_body)
+    in_contact = contacts[..., None] > 0.5
+    tau = jnp.where(in_contact, tau_stance, jnp.zeros_like(tau_stance))
+    q_cmd = jnp.where(in_contact, q, q_tgt)
+    dq_cmd = jnp.where(in_contact, dq, dq_tgt)
+    return JointTargets(q=q_cmd, dq=dq_cmd, tau=tau)
+
+
+def pd_torque(targets: JointTargets, q, dq, kp, kd):
+    """Explicit PD + feedforward, the Gazebo send path (GazeboInterface.cpp:116-124)."""
+    return kp * (targets.q - q) + kd * (targets.dq - dq) + targets.tau

@@ -62,7 +62,7 @@ def go1_params(
     mass: float = 12.84,
     rot_body_to_world=None,
     com_offset=(0.0223, 0.002, -0.0005),
-    dtype=jnp.float64,
+    dtype=None,
 ) -> SrbParams:
     """Go1 constants (config/gazebo_go1_quat_mpc.yaml:115-122, QuatMpc.cpp:180-182)."""
     trunk_inertia = np.diag([0.0168128557, 0.063009565, 0.0716547275])
@@ -78,6 +78,8 @@ def go1_params(
         )
     if rot_body_to_world is None:
         rot_body_to_world = np.eye(3)
+    if dtype is None:
+        dtype = jnp.asarray(0.0).dtype  # canonical float for the current x64 mode
     return SrbParams(
         foot_pos=jnp.asarray(foot_pos, dtype=dtype),
         inertia=jnp.asarray(inertia_scale * trunk_inertia, dtype=dtype),

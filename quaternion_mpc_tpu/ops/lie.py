@@ -21,7 +21,7 @@ _H = np.zeros((4, 3))
 _H[1:, :] = np.eye(3)
 
 
-def H(dtype=jnp.float64) -> jnp.ndarray:
+def H(dtype=None) -> jnp.ndarray:
     return jnp.asarray(_H, dtype=dtype)
 
 

@@ -1,0 +1,149 @@
+"""Config presets: the reference's (env × robot × controller × estimator) YAML
+axes (``legged_ctrl/config/*.yaml``, loaded by ``LeggedState.cpp:66-259``) as
+frozen dataclasses with the same values. Everything numeric that enters jitted
+code is converted to arrays at problem-build time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+# control periods (LeggedParams.h:4-6), in seconds
+MPC_PERIOD = 5.0e-3
+LOW_LEVEL_PERIOD = 0.25e-3
+FEEDBACK_PERIOD = 1.0e-3
+NUM_LEG = 4
+FOOT_DELTA_X_LIMIT = 0.5
+FOOT_DELTA_Y_LIMIT = 0.3
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotConfig:
+    """Go1 physical constants (gazebo_go1_quat_mpc.yaml:114-122, go1.urdf:436-437)."""
+
+    mass: float = 12.84
+    trunk_mass: float = 5.204
+    trunk_inertia: Tuple[float, float, float] = (0.0168128557, 0.063009565, 0.0716547275)
+    com_offset: Tuple[float, float, float] = (0.0223, 0.002, -0.0005)
+    # default foothold, relative frame (gazebo_go1_quat_mpc.yaml:16-30)
+    default_foot_pos: Tuple[Tuple[float, float, float], ...] = (
+        (0.20, 0.14, -0.3),
+        (0.20, -0.14, -0.3),
+        (-0.20, 0.14, -0.3),
+        (-0.20, -0.14, -0.3),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class MpcConfig:
+    """Controller parameters; defaults = gazebo Go1 quaternion MPC."""
+
+    controller: str = "quat"          # "quat" | "convex"
+    horizon: int = 20                 # mpc_horizon
+    update_period_ms: float = 10.0    # mpc_update_period (= solver h in ms)
+    q_weights: Tuple[float, ...] = (
+        2.5, 2.5, 10.0,
+        0.0, 0.0, 0.0, 0.0,
+        0.1, 0.1, 0.1,
+        0.15, 0.15, 0.15,
+    )
+    r_weights: Tuple[float, ...] = (1e-6,) * 12
+    w: float = 50.0                   # quaternion geodesic weight
+    mu: float = 0.7
+    fz_max: float = 100.0
+    iterations_max: int = 10
+    # reference quirk (QuatMpc.cpp:242 comma-typo): the initial MPC state
+    # always carries ω = 0. Kept as the default for behavioral parity;
+    # set False for the corrected controller.
+    zero_initial_omega: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class GaitConfig:
+    gait_freq: float = 2.2            # cycles/s (gazebo quat yaml:33)
+    pattern: str = "trot"             # trot | trot_with_stand | crawl | stand
+
+
+@dataclasses.dataclass(frozen=True)
+class SwingConfig:
+    kp: Tuple[float, float, float] = (20.0, 20.0, 20.0)   # hip/thigh/calf
+    kd: Tuple[float, float, float] = (1.5, 1.5, 1.5)
+    foot_sensor_max: float = 200.0
+    foot_sensor_min: float = 0.0
+    foot_sensor_ratio: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class EstimatorConfig:
+    kf_type: int = 0                  # 0 ground truth, 1 linear KF, 2 EKF
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameworkConfig:
+    robot: RobotConfig = dataclasses.field(default_factory=RobotConfig)
+    mpc: MpcConfig = dataclasses.field(default_factory=MpcConfig)
+    gait: GaitConfig = dataclasses.field(default_factory=GaitConfig)
+    swing: SwingConfig = dataclasses.field(default_factory=SwingConfig)
+    estimator: EstimatorConfig = dataclasses.field(default_factory=EstimatorConfig)
+
+
+def gazebo_go1_quat_mpc() -> FrameworkConfig:
+    """config/gazebo_go1_quat_mpc.yaml"""
+    return FrameworkConfig()
+
+
+def gazebo_go1_convex_mpc() -> FrameworkConfig:
+    """config/gazebo_go1_convex_mpc.yaml (diffs vs quat preset)"""
+    return FrameworkConfig(
+        robot=RobotConfig(
+            default_foot_pos=(
+                (0.2104, 0.13, -0.325),
+                (0.2104, -0.13, -0.325),
+                (-0.1658, 0.13, -0.325),
+                (-0.1658, -0.13, -0.325),
+            )
+        ),
+        mpc=MpcConfig(
+            controller="convex",
+            update_period_ms=5.0,
+            q_weights=(3.0, 3.0, 3.0, 1.0, 1.0, 20.0, 0.0, 0.0, 3.0, 2.0, 3.0, 2.0),
+            w=0.0,
+            mu=0.6,
+            fz_max=200.0,
+            iterations_max=5,
+        ),
+        swing=SwingConfig(kp=(5.0, 5.0, 5.0), kd=(0.5, 0.5, 0.5)),
+    )
+
+
+def hardware_go1_quat_mpc() -> FrameworkConfig:
+    """config/hardware_go1_quat_mpc.yaml (diffs vs gazebo quat preset)"""
+    return FrameworkConfig(
+        mpc=MpcConfig(
+            w=35.0,
+            q_weights=(
+                2.5, 2.5, 10.0,
+                0.0, 0.0, 0.0, 0.0,
+                0.1, 0.1, 0.1,
+                0.1, 0.1, 1.0,
+            ),
+        ),
+        gait=GaitConfig(gait_freq=2.0),
+        swing=SwingConfig(kp=(25.0, 25.0, 25.0), kd=(2.0, 2.0, 2.0), foot_sensor_max=150.0),
+        estimator=EstimatorConfig(kf_type=1),
+    )
+
+
+def q_weights_array(cfg: MpcConfig):
+    return np.asarray(cfg.q_weights)
+
+
+def presets():
+    return {
+        "gazebo_go1_quat_mpc": gazebo_go1_quat_mpc,
+        "gazebo_go1_convex_mpc": gazebo_go1_convex_mpc,
+        "hardware_go1_quat_mpc": hardware_go1_quat_mpc,
+    }
