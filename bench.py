@@ -33,15 +33,10 @@ def main():
     horizon = 10
     dtype = jnp.float32
     # online solver budget: iterations_max=10 (QuatMpc.cpp:22) → 2 AL × 5 iLQR
-    ctrl = quat_mpc.make_controller(
+    ctrl = quat_mpc.make_fleet_controller(
         horizon, SolverOptions(al_iterations=2, ilqr_iterations=5)
     )
-
-    def step(fbk, cmd, wts):
-        out, sol = jax.vmap(ctrl)(fbk, cmd, wts)
-        return out.grf_world, sol.stats.cost
-
-    step_jit = jax.jit(step)
+    step_jit = jax.jit(ctrl)
 
     best = None
     for batch in (256, 1024, 4096):

@@ -154,6 +154,92 @@ def build_problem(
     )
 
 
+# ---------------------------------------------------------------------------
+# Fleet-native (batch-last) path — the TPU throughput path (solver/fleet.py)
+# ---------------------------------------------------------------------------
+
+
+def build_fleet_problem(fbk, cmd, wts, horizon: int, zero_initial_omega: bool = True):
+    """Batch-first (fbk, cmd, wts) pytrees -> batch-last FleetProblem.
+
+    The transposes happen once at the solve boundary; everything inside the
+    solver then runs with the scenario batch in the TPU lane dimension.
+    """
+    import jax
+
+    from quaternion_mpc_tpu.models import srb as srb_mod
+    from quaternion_mpc_tpu.solver.fleet import FleetProblem
+
+    prob_bf = jax.vmap(
+        lambda f, c, w: build_problem(f, c, w, horizon, zero_initial_omega)
+    )(fbk, cmd, wts)
+
+    bl = lambda a: jnp.moveaxis(a, 0, -1)
+    return FleetProblem(
+        x0=bl(prob_bf.x0),
+        x_ref=jnp.moveaxis(prob_bf.cost.x_ref, 0, -1),
+        u_ref=jnp.moveaxis(prob_bf.cost.u_ref, 0, -1),
+        Qd=bl(prob_bf.cost.Qd),
+        Rd=bl(prob_bf.cost.Rd),
+        w=prob_bf.cost.w,
+        Cu=bl(prob_bf.Cu),
+        cb=bl(prob_bf.cb),
+        h=prob_bf.h,
+        params=srb_mod.params_to_fleet(prob_bf.params, batch_axis=True),
+        us_init=jnp.moveaxis(prob_bf.us_init, 0, -1),
+    )
+
+
+FLEET_MODEL_SPEC = None  # created lazily to avoid import cycle
+
+
+def _fleet_spec():
+    global FLEET_MODEL_SPEC
+    if FLEET_MODEL_SPEC is None:
+        from quaternion_mpc_tpu.models.srb import (
+            quat_srb_dynamics_fleet,
+            quat_srb_jacobian_fleet,
+        )
+        from quaternion_mpc_tpu.solver.fleet import FleetModelSpec
+
+        FLEET_MODEL_SPEC = FleetModelSpec(
+            nx=13,
+            nu=12,
+            f=quat_srb_dynamics_fleet,
+            fj=quat_srb_jacobian_fleet,
+            quat_idx=3,
+            integrator="midpoint",
+        )
+    return FLEET_MODEL_SPEC
+
+
+def make_fleet_controller(
+    horizon: int,
+    opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=5),
+    zero_initial_omega: bool = True,
+):
+    """Batch-last grf_update over a whole fleet at once.
+
+    Takes batch-FIRST (fbk, cmd, wts) pytrees (natural user layout), returns
+    (grf_world (B, n_feet, 3), cost (B,)).
+    """
+    from quaternion_mpc_tpu.ops import lie as lie_mod
+    from quaternion_mpc_tpu.solver.fleet import make_fleet_solver
+
+    solver = make_fleet_solver(_fleet_spec(), opts)
+
+    def grf_update(fbk, cmd, wts):
+        prob = build_fleet_problem(fbk, cmd, wts, horizon, zero_initial_omega)
+        sol = solver(prob)
+        u0 = jnp.moveaxis(sol.us[0], -1, 0)  # (B, 12)
+        grf_body = u0.reshape(u0.shape[0], -1, 3)
+        rot = lie_mod.quat_to_rotmat(fbk.torso_quat)  # (B, 3, 3)
+        grf_world = jnp.einsum("bij,bfj->bfi", rot, grf_body)
+        return grf_world, sol.cost
+
+    return grf_update
+
+
 def make_controller(
     horizon: int,
     opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=5),

@@ -23,12 +23,14 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from quaternion_mpc_tpu.ops import lie
 
 GRAVITY = 9.81
+_PRECISION = jax.lax.Precision.HIGHEST  # keep fleet contractions in full f32 on TPU
 
 
 class SrbParams(NamedTuple):
@@ -178,6 +180,143 @@ def euler_srb_dynamics(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp.ndar
     A, B = _euler_srb_matrices(x, p)
     g = jnp.zeros((12,), dtype=x.dtype).at[11].set(-GRAVITY)
     return A @ x + B @ u + g
+
+
+# ---------------------------------------------------------------------------
+# Fleet-native (batch-last) quaternion SRB: x (13, B), u (3·n_feet, B).
+# Params broadcast on a trailing batch axis: foot_pos (n_feet, 3, B|1),
+# inertia (3, 3, B|1), mass (B|1,), com_offset (3, B|1), rot (3, 3, B|1).
+# See solver/fleet.py for why batch-last is the TPU-native layout.
+# ---------------------------------------------------------------------------
+
+
+def _inv3_bl(A):
+    """Closed-form inverse of a (3, 3, B) stack (adjugate / det)."""
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 0], A[1, 1], A[1, 2]
+    g, h, i = A[2, 0], A[2, 1], A[2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13]),
+            jnp.stack([A21, A22, A23]),
+            jnp.stack([A31, A32, A33]),
+        ]
+    )
+    return inv / det
+
+
+def _quat_G_bl(q):
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    return jnp.stack(
+        [
+            jnp.stack([-x, -y, -z]),
+            jnp.stack([w, -z, y]),
+            jnp.stack([z, w, -x]),
+            jnp.stack([-y, x, w]),
+        ]
+    )
+
+
+def params_to_fleet(p: SrbParams, batch_axis: bool = False) -> SrbParams:
+    """Move per-scenario SrbParams (leading batch or unbatched) to batch-last.
+
+    Unbatched params gain a trailing broadcast axis of size 1.
+    """
+    if batch_axis:
+        move = lambda a: jnp.moveaxis(a, 0, -1)
+    else:
+        move = lambda a: a[..., None]
+    return SrbParams(
+        foot_pos=move(p.foot_pos),
+        inertia=move(p.inertia),
+        mass=move(jnp.atleast_1d(p.mass)) if not batch_axis else move(p.mass),
+        com_offset=move(p.com_offset),
+        com_mass=move(jnp.atleast_1d(p.com_mass)) if not batch_axis else move(p.com_mass),
+        rot_body_to_world=move(p.rot_body_to_world),
+    )
+
+
+def quat_srb_dynamics_fleet(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp.ndarray:
+    """Batch-last quaternion SRB ẋ; x (13, B), u (3·n_feet, B) -> (13, B)."""
+    q = x[3:7]
+    v = x[7:10]
+    omega = x[10:13]
+    n_feet = p.foot_pos.shape[0]
+
+    g_world = jnp.array([0.0, 0.0, -GRAVITY], dtype=x.dtype)
+    # g_body = Rᵀ g_world  (rot (3,3,B))
+    g_body = jnp.einsum("ji...,j->i...", p.rot_body_to_world, g_world, precision=_PRECISION)
+
+    forces = u.reshape(n_feet, 3, -1)
+    total_force = jnp.sum(forces, axis=0)
+    moment = jnp.sum(jnp.cross(p.foot_pos, forces, axis=1), axis=0)
+    moment = moment + jnp.cross(p.com_offset, p.com_mass * g_body, axis=0)
+
+    p_dot = v
+    q_dot = 0.5 * jnp.einsum("ij...,j...->i...", _quat_G_bl(q), omega, precision=_PRECISION)
+    v_dot = total_force / p.mass + g_body
+    omega_dot = jnp.einsum("ij...,j...->i...", _inv3_bl(p.inertia), moment, precision=_PRECISION)
+    return jnp.concatenate([p_dot, q_dot, v_dot, omega_dot], axis=0)
+
+
+def quat_srb_jacobian_fleet(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp.ndarray:
+    """Batch-last analytic Jacobian (13, 13+3·n_feet, B)."""
+    del u
+    B = x.shape[-1]
+    dtype = x.dtype
+    q = x[3:7]
+    omega = x[10:13]
+    n_feet = p.foot_pos.shape[0]
+    n_u = 3 * n_feet
+
+    J = jnp.zeros((13, 13 + n_u, B), dtype=dtype)
+    idx3 = jnp.arange(3)
+    J = J.at[idx3, 7 + idx3].set(jnp.ones((3, B), dtype=dtype))
+    # dq̇/dq = ½·R_mult([0, ω])
+    wx, wy, wz = omega[0], omega[1], omega[2]
+    zero = jnp.zeros_like(wx)
+    Rw = jnp.stack(
+        [
+            jnp.stack([zero, -wx, -wy, -wz]),
+            jnp.stack([wx, zero, wz, -wy]),
+            jnp.stack([wy, -wz, zero, wx]),
+            jnp.stack([wz, wy, -wx, zero]),
+        ]
+    )
+    J = J.at[3:7, 3:7].set(0.5 * Rw)
+    J = J.at[3:7, 10:13].set(0.5 * _quat_G_bl(q))
+
+    inv_inertia = _inv3_bl(p.inertia)  # (3,3,B|1)
+    mass_inv = 1.0 / p.mass
+    for i in range(n_feet):
+        J = J.at[7 + idx3, 13 + 3 * i + idx3].set(
+            jnp.broadcast_to(mass_inv, (3, B))
+        )
+        r = p.foot_pos[i]  # (3, B|1)
+        rx, ry, rz = r[0], r[1], r[2]
+        zz = jnp.zeros_like(rx)
+        skew_r = jnp.stack(
+            [
+                jnp.stack([zz, -rz, ry]),
+                jnp.stack([rz, zz, -rx]),
+                jnp.stack([-ry, rx, zz]),
+            ]
+        )
+        blk = jnp.einsum("ik...,kj...->ij...", inv_inertia, skew_r, precision=_PRECISION)
+        J = J.at[10:13, 13 + 3 * i : 16 + 3 * i].set(
+            jnp.broadcast_to(blk, (3, 3, B))
+        )
+    return J
 
 
 def euler_srb_jacobian(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp.ndarray:

@@ -1,0 +1,487 @@
+"""Fleet-native AL-iLQR: the same algorithm as `al_ilqr`, restructured for
+TPU memory layout — every array carries the scenario batch as its LAST axis.
+
+Why: under `jax.vmap` the batch leads, so a (B, 13) state puts dim-13 into
+the 128-lane minor axis (10× padding) and B into sublanes; every tiny-matrix
+op in the Riccati recursion then moves ~90% padding. With batch-last, (13, B)
+puts B in lanes and the matrix dims in sublanes: 12×12 matmuls become
+lane-parallel VPU work at full utilization. Measured on v5e: ~28× faster than
+the vmapped batch-first solver at B=4096 (see bench.py history).
+
+The linear algebra on (n, n, B) stacks (matmul, Cholesky, triangular solve)
+is unrolled over the static tiny dims — XLA fuses the scalar-chain into a
+few lane-parallel kernels. Shapes:
+
+    xs (N+1, nx, B)   us (N, nu, B)   As (N, ne, ne, B)   Ks (N, nu, ne, B)
+
+Model callables are fleet-native too: f(x, u, params) with x (nx, B) and
+per-scenario params broadcast on the trailing axis.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from quaternion_mpc_tpu.solver.problem import SolverOptions
+
+# ---------------------------------------------------------------------------
+# Batch-last tiny linear algebra
+# ---------------------------------------------------------------------------
+
+
+# Full-f32 accumulation: the TPU default routes these contractions through
+# bf16 MXU passes, which visibly degrades AL-iLQR convergence (measured:
+# final cost 2.20 vs 0.42 at B=1024). ~15% slower, required for correctness.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def bmm(A, B):
+    """(n, k, B) @ (k, m, B) -> (n, m, B)."""
+    return jnp.einsum("ik...,kj...->ij...", A, B, precision=_PRECISION)
+
+
+def bmv(A, x):
+    """(n, k, B) @ (k, B) -> (n, B)."""
+    return jnp.einsum("ik...,k...->i...", A, x, precision=_PRECISION)
+
+
+def bt(A):
+    """Transpose the matrix dims of (n, m, B)."""
+    return jnp.swapaxes(A, 0, 1)
+
+
+def cholesky_bl(A):
+    """Cholesky of an (n, n, B) SPD stack, unrolled over static n."""
+    n = A.shape[0]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    rows = [
+        jnp.stack([L[i][j] if j <= i else jnp.zeros_like(A[0, 0]) for j in range(n)])
+        for i in range(n)
+    ]
+    return jnp.stack(rows)
+
+
+def _solve_tril(L, b, vec: bool):
+    n = L.shape[0]
+    ys = []
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            Lik = L[i, k] if vec else L[i, k][None, :]
+            s = s - Lik * ys[k]
+        Lii = L[i, i] if vec else L[i, i][None, :]
+        ys.append(s / Lii)
+    return jnp.stack(ys)
+
+
+def cho_solve_bl(L, b):
+    """Solve (L Lᵀ) x = b; b (n, B) vector or (n, m, B) matrix stack (solved
+    for all m columns at once — row i of b broadcasts as (m, B))."""
+    vec = b.ndim == 2
+    y = _solve_tril(L, b, vec)
+    return _solve_tril_T(L, y, vec)
+
+
+def _solve_tril_T(L, y, vec: bool):
+    """Solve Lᵀ x = y."""
+    n = L.shape[0]
+    xs = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            Lki = L[k, i] if vec else L[k, i][None, :]
+            s = s - Lki * xs[k]
+        Lii = L[i, i] if vec else L[i, i][None, :]
+        xs[i] = s / Lii
+    return jnp.stack(xs)
+
+
+# ---------------------------------------------------------------------------
+# Fleet problem / spec
+# ---------------------------------------------------------------------------
+
+
+class FleetModelSpec(NamedTuple):
+    """Static fleet-native model description.
+
+    f:  (x (nx,B), u (nu,B), params) -> xdot (nx,B)
+    fj: (x, u, params) -> (nx, nx+nu, B) continuous Jacobian
+    """
+
+    nx: int
+    nu: int
+    f: Callable
+    fj: Callable
+    quat_idx: Optional[int] = None
+    integrator: str = "midpoint"
+
+    @property
+    def ne(self) -> int:
+        return self.nx if self.quat_idx is None else self.nx - 1
+
+
+class FleetProblem(NamedTuple):
+    """Batch-last problem pytree. Shapes (B = fleet size):
+
+    x0 (nx, B); x_ref (N+1, nx, B); u_ref (N+1, nu, B); Qd (nx, B) or (nx, 1);
+    Rd (nu, ...); w (B,) or (1,); Cu (nc, nu, B); cb (nc, B); h scalar or (B,).
+    """
+
+    x0: jnp.ndarray
+    x_ref: jnp.ndarray
+    u_ref: jnp.ndarray
+    Qd: jnp.ndarray
+    Rd: jnp.ndarray
+    w: jnp.ndarray
+    Cu: jnp.ndarray
+    cb: jnp.ndarray
+    h: jnp.ndarray
+    params: object
+    us_init: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Quaternion pieces (batch-last, quaternion components in dim 0)
+# ---------------------------------------------------------------------------
+
+
+def _quat_G_bl(q):
+    """q (4, B) -> G(q) (4, 3, B)."""
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    rows = [
+        [-x, -y, -z],
+        [w, -z, y],
+        [z, w, -x],
+        [-y, x, w],
+    ]
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
+def _quat_err_bl(q, q_ref):
+    """Cayley-chart attitude error (3, B) of q vs q_ref, both (4, B)."""
+    # δq = q_ref⁻¹ ⊗ q
+    w1, v1 = q_ref[0], -q_ref[1:]
+    w2, v2 = q[0], q[1:]
+    dw = w1 * w2 - jnp.sum(v1 * v2, axis=0)
+    dv = w1 * v2 + w2 * v1 + jnp.cross(v1, v2, axis=0)
+    return dv / dw
+
+
+def _error_proj_bl(x, quat_idx, ne):
+    """E(x): (nx, ne, B) built from identity blocks + G(q)."""
+    nx = x.shape[0]
+    B = x.shape[-1]
+    if quat_idx is None:
+        return jnp.broadcast_to(jnp.eye(nx, dtype=x.dtype)[..., None], (nx, nx, B))
+    qi = quat_idx
+    E = jnp.zeros((nx, ne, B), dtype=x.dtype)
+    eye_top = jnp.broadcast_to(jnp.eye(nx, ne, dtype=x.dtype)[..., None], (nx, ne, B))
+    mask_top = (jnp.arange(nx) < qi)[:, None, None]
+    E = jnp.where(mask_top, eye_top, E)
+    G = _quat_G_bl(x[qi : qi + 4])
+    E = E.at[qi : qi + 4, qi : qi + 3].set(G)
+    rest = nx - qi - 4
+    if rest > 0:
+        idx_r = jnp.arange(rest)
+        E = E.at[qi + 4 + idx_r, qi + 3 + idx_r].set(jnp.ones((rest, B), dtype=x.dtype))
+    return E
+
+
+def _state_diff_bl(x, x_ref, quat_idx):
+    if quat_idx is None:
+        return x - x_ref
+    qi = quat_idx
+    phi = _quat_err_bl(x[qi : qi + 4], x_ref[qi : qi + 4])
+    return jnp.concatenate([x[:qi] - x_ref[:qi], phi, x[qi + 4 :] - x_ref[qi + 4 :]])
+
+
+# ---------------------------------------------------------------------------
+# Discretization (batch-last)
+# ---------------------------------------------------------------------------
+
+
+def _fleet_step(spec: FleetModelSpec, x, u, params, h):
+    if spec.integrator == "midpoint":
+        xm = x + 0.5 * h * spec.f(x, u, params)
+        return x + h * spec.f(xm, u, params)
+    return x + h * spec.f(x, u, params)
+
+
+def _fleet_discrete_jac(spec: FleetModelSpec, x, u, params, h):
+    nx = spec.nx
+    eye = jnp.eye(nx, dtype=x.dtype)[..., None]
+    if spec.integrator == "midpoint":
+        J = spec.fj(x, u, params)
+        A, Bm_ = J[:, :nx], J[:, nx:]
+        xm = x + 0.5 * h * spec.f(x, u, params)
+        Jm = spec.fj(xm, u, params)
+        Am, Bm = Jm[:, :nx], Jm[:, nx:]
+        Ad = eye + h * bmm(Am, eye + 0.5 * h * A)
+        Bd = h * (0.5 * h * bmm(Am, Bm_) + Bm)
+        return Ad, Bd
+    J = spec.fj(x, u, params)
+    return eye + h * J[:, :nx], h * J[:, nx:]
+
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+
+
+class FleetSolution(NamedTuple):
+    xs: jnp.ndarray   # (N+1, nx, B)
+    us: jnp.ndarray   # (N, nu, B)
+    cost: jnp.ndarray  # (B,)
+    iterations: jnp.ndarray
+
+
+def make_fleet_solver(spec: FleetModelSpec, opts: SolverOptions = SolverOptions()):
+    """Returns solve(prob: FleetProblem) -> FleetSolution, fully batch-last."""
+    qi = spec.quat_idx
+    ne = spec.ne
+
+    def stage_cost_terms(x, u, x_ref, u_ref, prob):
+        """Per-knot cost value (B,)."""
+        dx = x - x_ref
+        val = 0.5 * jnp.sum(prob.Qd * dx * dx, axis=0)
+        du = u - u_ref
+        val = val + 0.5 * jnp.sum(prob.Rd * du * du, axis=0)
+        if qi is not None:
+            dot = jnp.sum(x[qi : qi + 4] * x_ref[qi : qi + 4], axis=0)
+            val = val + prob.w * (1.0 - jnp.abs(dot))
+        return val
+
+    def al_value(c, lam, rho):
+        lam_bar = jnp.maximum(0.0, lam + rho * c)
+        return (jnp.sum(lam_bar * lam_bar, axis=0) - jnp.sum(lam * lam, axis=0)) / (
+            2.0 * rho
+        )
+
+    def total_cost(xs, us, prob, lam, rho):
+        # vectorized over knots: fold knot axis into lanes? keep scan-free sum
+        def knot(k_x, k_u, k_xr, k_ur, k_lam):
+            c = bmv(prob.Cu, k_u) + prob.cb
+            return stage_cost_terms(k_x, k_u, k_xr, k_ur, prob) + al_value(
+                c, k_lam, rho
+            )
+
+        stage = jax.vmap(knot, in_axes=(0, 0, 0, 0, 0))(
+            xs[:-1], us, prob.x_ref[:-1], prob.u_ref[:-1], lam
+        )
+        dxN = xs[-1] - prob.x_ref[-1]
+        term = 0.5 * jnp.sum(prob.Qd * dxN * dxN, axis=0)
+        if qi is not None:
+            dot = jnp.sum(xs[-1][qi : qi + 4] * prob.x_ref[-1][qi : qi + 4], axis=0)
+            term = term + prob.w * (1.0 - jnp.abs(dot))
+        return jnp.sum(stage, axis=0) + term
+
+    def cost_expansion(x, u, x_ref, u_ref, lam, rho, prob):
+        g = prob.Qd * (x - x_ref)  # (nx, B)
+        corr = None
+        if qi is not None:
+            q = x[qi : qi + 4]
+            q_ref = x_ref[qi : qi + 4]
+            dot = jnp.sum(q * q_ref, axis=0)
+            s = jnp.sign(dot)
+            g = g.at[qi : qi + 4].add(-prob.w * s * q_ref)
+            corr = -jnp.sum(q * g[qi : qi + 4], axis=0)
+        E = _error_proj_bl(x, qi, ne)
+        lx = bmv(bt(E), g)
+        lxx = bmm(bt(E) * prob.Qd[None, :, :], E)
+        if qi is not None:
+            idx = jnp.arange(qi, qi + 3)
+            lxx = lxx.at[idx, idx].add(corr)
+        lu = prob.Rd * (u - u_ref)
+        luu = jnp.eye(spec.nu, dtype=x.dtype)[..., None] * prob.Rd[None, :, :]
+        c = bmv(prob.Cu, u) + prob.cb
+        lam_bar = jnp.maximum(0.0, lam + rho * c)
+        active = ((lam + rho * c) > 0.0).astype(x.dtype)
+        lu = lu + bmv(bt(prob.Cu), lam_bar)
+        luu = luu + rho * bmm(bt(prob.Cu) * active[None, :, :], prob.Cu)
+        return lx, lxx, lu, luu
+
+    def terminal_expansion(xN, prob):
+        g = prob.Qd * (xN - prob.x_ref[-1])
+        corr = None
+        if qi is not None:
+            q = xN[qi : qi + 4]
+            q_ref = prob.x_ref[-1][qi : qi + 4]
+            s = jnp.sign(jnp.sum(q * q_ref, axis=0))
+            g = g.at[qi : qi + 4].add(-prob.w * s * q_ref)
+            corr = -jnp.sum(q * g[qi : qi + 4], axis=0)
+        E = _error_proj_bl(xN, qi, ne)
+        lx = bmv(bt(E), g)
+        lxx = bmm(bt(E) * prob.Qd[None, :, :], E)
+        if qi is not None:
+            idx = jnp.arange(qi, qi + 3)
+            lxx = lxx.at[idx, idx].add(corr)
+        return lx, lxx
+
+    def backward(As, Bs, lxs, lxxs, lus, luus, lxN, lxxN, reg):
+        eye_u = jnp.eye(spec.nu, dtype=As.dtype)[..., None]
+
+        def step(carry, inp):
+            Vx, Vxx = carry
+            A, B_, lx, lxx, lu, luu = inp
+            AtV = bmm(bt(A), Vxx)
+            BtV = bmm(bt(B_), Vxx)
+            Qx = lx + bmv(bt(A), Vx)
+            Qu = lu + bmv(bt(B_), Vx)
+            Qxx = lxx + bmm(AtV, A)
+            Quu = luu + bmm(BtV, B_)
+            Qux = bmm(BtV, A)
+            L = cholesky_bl(Quu + reg * eye_u)
+            d = -cho_solve_bl(L, Qu)
+            K = -cho_solve_bl(L, Qux)
+            KtQuu = bmm(bt(K), Quu)
+            Vx_n = Qx + bmv(KtQuu, d) + bmv(bt(K), Qu) + bmv(bt(Qux), d)
+            Vxx_n = Qxx + bmm(KtQuu, K) + bmm(bt(K), Qux) + bmm(bt(Qux), K)
+            Vxx_n = 0.5 * (Vxx_n + bt(Vxx_n))
+            dV1 = jnp.sum(d * Qu, axis=0)
+            dV2 = 0.5 * jnp.sum(d * bmv(Quu, d), axis=0)
+            return (Vx_n, Vxx_n), (K, d, dV1, dV2, jnp.max(jnp.abs(Qu), axis=0))
+
+        (_, _), (Ks, ds, dV1s, dV2s, gs) = jax.lax.scan(
+            step, (lxN, lxxN), (As, Bs, lxs, lxxs, lus, luus), reverse=True
+        )
+        return Ks, ds, jnp.sum(dV1s, axis=0), jnp.sum(dV2s, axis=0), jnp.max(gs, axis=0)
+
+    def rollout(prob, xs_bar, us_bar, Ks, ds, alpha):
+        """alpha: (B,) per-scenario step length."""
+
+        def step(x, inp):
+            x_bar, u_bar, K, d = inp
+            dx = _state_diff_bl(x, x_bar, qi)
+            u = u_bar + alpha * d + bmv(K, dx)
+            return _fleet_step(spec, x, u, prob.params, prob.h), (x, u)
+
+        xN, (xs, us) = jax.lax.scan(step, xs_bar[0], (xs_bar[:-1], us_bar, Ks, ds))
+        return jnp.concatenate([xs, xN[None]], axis=0), us
+
+    def expansions(prob, xs, us, lam, rho):
+        def knot(x, x1, u, x_ref, u_ref, k_lam):
+            Ad, Bd = _fleet_discrete_jac(spec, x, u, prob.params, prob.h)
+            E0 = _error_proj_bl(x, qi, ne)
+            E1 = _error_proj_bl(x1, qi, ne)
+            A = bmm(bt(E1), bmm(Ad, E0))
+            B_ = bmm(bt(E1), Bd)
+            lx, lxx, lu, luu = cost_expansion(x, u, x_ref, u_ref, k_lam, rho, prob)
+            return A, B_, lx, lxx, lu, luu
+
+        return jax.vmap(knot)(
+            xs[:-1], xs[1:], us, prob.x_ref[:-1], prob.u_ref[:-1], lam
+        )
+
+    def solve(prob: FleetProblem) -> FleetSolution:
+        dtype = prob.x0.dtype
+        B = prob.x0.shape[-1]
+        N = prob.us_init.shape[0]
+        nc = prob.cb.shape[0]
+
+        def init_step(x, u):
+            return _fleet_step(spec, x, u, prob.params, prob.h), x
+
+        xN0, xs0 = jax.lax.scan(init_step, prob.x0, prob.us_init)
+        xs = jnp.concatenate([xs0, xN0[None]], axis=0)
+        us = prob.us_init
+
+        lam = jnp.zeros((N, nc, B), dtype=dtype)
+        rho0 = jnp.asarray(opts.penalty_initial, dtype)
+        reg0 = jnp.full((B,), opts.reg_initial, dtype=dtype)
+
+        def ilqr_iteration(state):
+            xs, us, lam, rho, reg, J, done, n_iter = state
+            As, Bs, lxs, lxxs, lus, luus = expansions(prob, xs, us, lam, rho)
+            lxN, lxxN = terminal_expansion(xs[-1], prob)
+            Ks, ds, dV1, dV2, gnorm = backward(
+                As, Bs, lxs, lxxs, lus, luus, lxN, lxxN, reg
+            )
+
+            def ls_cond(ls):
+                _, _, _, accepted, tries = ls
+                return jnp.logical_and(jnp.any(~accepted), tries < opts.max_linesearch)
+
+            def ls_body(ls):
+                alpha, (xs_b, us_b), J_b, accepted, tries = ls
+                a_try = jnp.where(accepted, jnp.zeros_like(alpha), alpha)
+                xs_new, us_new = rollout(prob, xs, us, Ks, ds, a_try)
+                J_new = total_cost(xs_new, us_new, prob, lam, rho)
+                expected = -(a_try * dV1 + a_try * a_try * dV2)
+                ok = jnp.where(
+                    expected > 0.0,
+                    (J - J_new) / jnp.maximum(expected, 1e-30) > 1e-4,
+                    J_new < J + 1e-12,
+                )
+                ok = ok & jnp.isfinite(J_new) & ~accepted
+                xs_b = jnp.where(ok[None, None, :], xs_new, xs_b)
+                us_b = jnp.where(ok[None, None, :], us_new, us_b)
+                J_b = jnp.where(ok, J_new, J_b)
+                return (alpha * 0.5, (xs_b, us_b), J_b, accepted | ok, tries + 1)
+
+            ls0 = (
+                jnp.ones((B,), dtype),
+                (xs, us),
+                J,
+                jnp.zeros((B,), dtype=bool),
+                jnp.asarray(0),
+            )
+            _, (xs_ls, us_ls), J_ls, accepted, _ = jax.lax.while_loop(
+                ls_cond, ls_body, ls0
+            )
+
+            improved = accepted & (J_ls < J)
+            take = improved & ~done
+            xs = jnp.where(take[None, None, :], xs_ls, xs)
+            us = jnp.where(take[None, None, :], us_ls, us)
+            J_out = jnp.where(take, J_ls, J)
+            reg = jnp.where(
+                improved,
+                jnp.maximum(reg / opts.reg_scale_up, opts.reg_initial),
+                jnp.minimum(reg * opts.reg_scale_up, opts.reg_max),
+            )
+            conv = (jnp.abs(J - J_out) < opts.cost_tol) | (gnorm < opts.grad_tol)
+            done = done | conv | ~accepted
+            return (xs, us, lam, rho, reg, J_out, done, n_iter + 1)
+
+        def al_body(carry, _):
+            xs, us, lam, rho, reg, n_total = carry
+            J = total_cost(xs, us, prob, lam, rho)
+            state = (xs, us, lam, rho, reg, J, jnp.zeros((B,), dtype=bool), n_total)
+            state, _ = jax.lax.scan(
+                lambda s, _: (ilqr_iteration(s), None),
+                state,
+                None,
+                length=opts.ilqr_iterations,
+            )
+            xs, us, lam, rho, reg, J, _, n_total = state
+
+            def cvals_k(u_k, lam_k):
+                return jnp.maximum(0.0, lam_k + rho * (bmv(prob.Cu, u_k) + prob.cb))
+
+            lam = jax.vmap(cvals_k)(us, lam)
+            rho = rho * opts.penalty_scaling
+            return (xs, us, lam, rho, reg, n_total), None
+
+        # backward-pass reg enters as (B,) broadcast against (nu, nu, B)
+        carry = (xs, us, lam, rho0, reg0, jnp.asarray(0, jnp.int32))
+        carry, _ = jax.lax.scan(al_body, carry, None, length=opts.al_iterations)
+        xs, us, lam, rho, reg, n_total = carry
+
+        final_cost = total_cost(
+            xs, us, prob, jnp.zeros_like(lam), jnp.asarray(1e-30, dtype)
+        )
+        return FleetSolution(xs=xs, us=us, cost=final_cost, iterations=n_total)
+
+    return solve

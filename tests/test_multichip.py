@@ -1,0 +1,56 @@
+"""Sharded-fleet tests on the virtual 8-device CPU mesh (SURVEY.md §4d)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quaternion_mpc_tpu.control import quat_mpc
+from quaternion_mpc_tpu.models import srb
+from quaternion_mpc_tpu.parallel import mesh as mesh_mod
+from quaternion_mpc_tpu.runtime import step as rt
+from quaternion_mpc_tpu.solver import SolverOptions
+from quaternion_mpc_tpu.utils import config as cfg_mod
+
+
+@pytest.fixture(scope="module")
+def fleet_setup():
+    n_dev = len(jax.devices())
+    assert n_dev == 8, f"conftest should provide 8 virtual cpu devices, got {n_dev}"
+    dtype = jnp.float32
+    wts = quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=dtype)
+    carry1, sp1 = rt.init_scenario(wts, srb.go1_params().foot_pos, dtype=dtype)
+    joy1 = rt.neutral_joy(dtype)
+    B = 16
+    tile = lambda t: jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), t)
+    return tile(carry1), tile(sp1), tile(joy1), B
+
+
+def test_fleet_step_sharded(fleet_setup):
+    carry, sp, joy, B = fleet_setup
+    m = mesh_mod.scenario_mesh()
+    step = rt.make_standing_step(
+        horizon=4, opts=SolverOptions(al_iterations=1, ilqr_iterations=2)
+    )
+    fleet = mesh_mod.fleet_map(lambda c, inp: step(c, inp[0], inp[1]), m)
+    carry_s = mesh_mod.shard_batch(carry, m)
+    inputs_s = mesh_mod.shard_batch((sp, joy), m)
+    new_carry, metrics = jax.jit(fleet)(carry_s, inputs_s)
+    jax.block_until_ready(new_carry)
+    # psum'd metrics are fleet totals
+    assert float(metrics.alive) == B
+    # sharded result equals the unsharded vmap result
+    vstep = jax.jit(jax.vmap(step))
+    ref_carry, ref_metrics = vstep(carry, (lambda t: t)(sp), joy)
+    np.testing.assert_allclose(
+        np.array(new_carry.plant.pos), np.array(ref_carry.plant.pos), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics.mpc_cost), float(jnp.sum(ref_metrics.mpc_cost)), rtol=1e-4
+    )
+
+
+def test_graft_dryrun():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
