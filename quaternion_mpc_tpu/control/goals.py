@@ -52,8 +52,16 @@ def init_goal_state(fbk: RobotFeedback, window: int = FILTER_WINDOW) -> GoalStat
 
 
 def goal_update(
-    state: GoalState, fbk: RobotFeedback, joy: JoyCommand, contacts: jnp.ndarray
+    state: GoalState,
+    fbk: RobotFeedback,
+    joy: JoyCommand,
+    contacts: jnp.ndarray,
+    dt=OUTER_DT,
 ) -> Tuple[GoalState, Command]:
+    """One goal-update tick. ``dt`` is the caller's loop period — the
+    reference hard-codes 5 ms because its MPC thread runs at 5 ms
+    (QuatMpc.cpp:97,132); a fused runtime stepping at the solver period must
+    pass its own dt or the integrated position/attitude targets lag."""
     dtype = fbk.torso_quat.dtype
     rot = lie.quat_to_rotmat(fbk.torso_quat)
     yaw = lie.quat_to_euler(fbk.torso_quat)[2]
@@ -67,15 +75,15 @@ def goal_update(
 
     # desired position integration (:96-99)
     pos_d_world = state.torso_pos_d_world
-    pos_d_world = pos_d_world.at[0].add(vel_d_world[0] * OUTER_DT)
-    pos_d_world = pos_d_world.at[1].add(vel_d_world[1] * OUTER_DT)
+    pos_d_world = pos_d_world.at[0].add(vel_d_world[0] * dt)
+    pos_d_world = pos_d_world.at[1].add(vel_d_world[1] * dt)
     pos_d_world = pos_d_world.at[2].set(joy.body_height)
     pos_d_body = rot.T @ (pos_d_world - fbk.torso_pos_world)
     pos_filter, pos_d_body_f = filters.window_update(state.pos_filter, pos_d_body)
 
     # desired attitude integration (:127-137)
     ang_vel_d = jnp.stack([joy.roll_rate, joy.pitch_rate, joy.yaw_rate])
-    quat_d = state.quat_d + 0.5 * (lie.quat_G(state.quat_d) @ ang_vel_d) * OUTER_DT
+    quat_d = state.quat_d + 0.5 * (lie.quat_G(state.quat_d) @ ang_vel_d) * dt
     quat_d = lie.quat_normalize(quat_d)
 
     # sinusoidal attitude test mode (:140-146)

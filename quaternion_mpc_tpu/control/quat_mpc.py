@@ -58,6 +58,30 @@ def cone_matrix(mu, dtype):
     return C.at[:, 2].add(-mu * jnp.asarray(_CONE_MU, dtype=dtype))
 
 
+def cone_matrix_with_normal(mu, normal, fz_max_row: bool = True):
+    """Friction-pyramid rows for a contact with surface normal ``normal``
+    (the ``spider_dog`` chimney-climb configs: non-flat contact normals,
+    BASELINE.json configs; flat ground ``normal=ẑ`` reduces to `cone_matrix`).
+
+    Builds a tangent basis (t1, t2) ⊥ n and returns (6, 3) rows
+    [±t1 − μn; ±t2 − μn; n; −n] so that C·f + b ≤ 0 encodes
+    |f·t| ≤ μ(f·n), 0 ≤ f·n ≤ f_max.
+    """
+    n = normal / jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    # tangent basis: pick the world axis least aligned with n
+    ref = jnp.where(
+        jnp.abs(n[..., 2:3]) < 0.9,
+        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype=n.dtype), n.shape),
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype=n.dtype), n.shape),
+    )
+    t1 = jnp.cross(ref, n)
+    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True)
+    t2 = jnp.cross(n, t1)
+    return jnp.stack(
+        [t1 - mu * n, -t1 - mu * n, t2 - mu * n, -t2 - mu * n, n, -n], axis=-2
+    )
+
+
 class QuatMpcWeights(NamedTuple):
     """Numeric controller parameters (pytree; batchable for scenario sweeps)."""
 

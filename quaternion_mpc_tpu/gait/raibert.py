@@ -35,11 +35,8 @@ def foothold_targets(
     delta = k[..., None] * (vel_rel[..., :2] - lin_vel_d_rel[..., :2]) + (
         t_half_stance * lin_vel_d_rel[..., :2]
     )
-    delta = jnp.clip(
-        delta,
-        -jnp.asarray([FOOT_DELTA_X_LIMIT, FOOT_DELTA_Y_LIMIT]),
-        jnp.asarray([FOOT_DELTA_X_LIMIT, FOOT_DELTA_Y_LIMIT]),
-    )
+    limits = jnp.asarray([FOOT_DELTA_X_LIMIT, FOOT_DELTA_Y_LIMIT], dtype=delta.dtype)
+    delta = jnp.clip(delta, -limits, limits)
     delta_abs = jnp.einsum(
         "...ij,...j->...i",
         rot_z,

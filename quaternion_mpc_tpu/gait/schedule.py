@@ -157,7 +157,8 @@ def gait_update(
     dtype = foot_pos_world.dtype
     phase = state.phase + gait_freq * dt
     cur_state = _seg_state(pattern, state.seg_idx)
-    seg_end = _seg_end(pattern, state.seg_idx)
+    # pattern tables are stored at default precision; compute in the caller's
+    seg_end = _seg_end(pattern, state.seg_idx).astype(dtype)
 
     denom = jnp.maximum(seg_end - state.seg_start, 1e-9)
     percent = jnp.clip((phase - state.seg_start) / denom, 0.0, 1.0)
@@ -175,7 +176,7 @@ def gait_update(
     wrapped = transition & (next_idx < state.seg_idx)
     phase = jnp.where(wrapped, phase - 1.0, phase)
     seg_start = jnp.where(transition, phase, state.seg_start)
-    seg_end_new = _seg_end(pattern, next_idx)
+    seg_end_new = _seg_end(pattern, next_idx).astype(dtype)
     new_state = _seg_state(pattern, next_idx)
 
     # stance-exit bookkeeping: record terrain height (LeggedContactFSM.cpp:80-84)

@@ -63,17 +63,22 @@ def make_standing_step(
     horizon: int = 10,
     opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=5),
     plant_substeps: int = 2,
+    zero_initial_omega: bool = False,
 ):
     """Standing-balance closed loop (SURVEY.md §7 minimum slice): all-stance,
     forces applied directly at the feet; per-scenario safety/divergence
     masking so a failed rollout can't poison the fleet.
+
+    Like `make_walking_step`, the closed loop defaults to the corrected
+    controller (ω feedback on, see note there); pass True to reproduce the
+    reference's QuatMpc.cpp:242 behavior.
     """
-    grf_update = quat_mpc.make_controller(horizon, opts)
+    grf_update = quat_mpc.make_controller(horizon, opts, zero_initial_omega)
 
     def control_step(carry: ScenarioCarry, sp: ScenarioParams, joy: goals.JoyCommand):
         fbk = feedback_from_plant(carry.plant, sp.plant_params.foot_pos_body)
         contacts = jnp.ones_like(fbk.foot_contact)
-        goal, cmd = goals.goal_update(carry.goal, fbk, joy, contacts)
+        goal, cmd = goals.goal_update(carry.goal, fbk, joy, contacts, dt=sp.wts.h)
         cmd = cmd._replace(
             pos_body_d=cmd.pos_body_d.at[2].set(
                 sp.target_height - carry.plant.pos[2]
@@ -106,6 +111,164 @@ def make_standing_step(
         return ScenarioCarry(plant=kept_plant, goal=goal, alive=alive), metrics
 
     return control_step
+
+
+class WalkingCarry(NamedTuple):
+    plant: plant.PlantState
+    goal: goals.GoalState
+    gait: "object"            # schedule.GaitState
+    feet_world: jnp.ndarray   # (n_feet, 3) simulated foot positions
+    alive: jnp.ndarray
+
+
+class WalkingMetrics(NamedTuple):
+    mpc_cost: jnp.ndarray
+    vel_err: jnp.ndarray
+    height_err: jnp.ndarray
+    alive: jnp.ndarray
+
+
+def make_walking_step(
+    horizon: int = 10,
+    opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=4),
+    gait_freq: float = 2.2,
+    pattern=None,
+    zero_initial_omega: bool = False,
+):
+    """Trot-walking closed loop: gait FSM → Raibert footholds → quat-MPC →
+    force application at the current stance feet.
+
+    Sim model (SURVEY.md §7.6 intermediate tier): torso SRB + massless feet;
+    stance feet are pinned to the ground and realize the commanded GRF
+    (ideal low-level force tracking), swing feet follow the quintic FSM
+    targets with zero force. Joint angles are recovered via analytic IK each
+    tick so the kinematics layer runs in the loop.
+    """
+    from quaternion_mpc_tpu.gait import raibert as raibert_mod
+    from quaternion_mpc_tpu.gait import schedule as sched_mod
+    from quaternion_mpc_tpu.kin import leg as leg_mod
+
+    if pattern is None:
+        pattern = sched_mod.trot_pattern()
+    # the closed loop defaults to the CORRECTED controller (ω feedback on):
+    # with the reference's ω=0 init quirk (QuatMpc.cpp:242) the idealized
+    # force-tracking plant has no other source of attitude damping and the
+    # trot tips over after ~2 s; the real reference survives via joint-level
+    # impedance the SRB plant doesn't model.
+    grf_update = quat_mpc.make_controller(horizon, opts, zero_initial_omega)
+
+    def control_step(carry: WalkingCarry, sp: ScenarioParams, joy: goals.JoyCommand):
+        ps = carry.plant
+        dtype = ps.pos.dtype
+        rot = lie.quat_to_rotmat(ps.quat)
+        foot_pos_body = (carry.feet_world - ps.pos) @ rot  # Rᵀ(p_f − p) rows
+        rho_fix = leg_mod.go1_rho_fix(dtype)
+        joint_pos = leg_mod.ik(foot_pos_body, rho_fix)
+
+        contacts_now = sched_mod.contact_flags(carry.gait, pattern).astype(dtype)
+        fbk = RobotFeedback(
+            torso_pos_world=ps.pos,
+            torso_quat=ps.quat,
+            torso_lin_vel_world=ps.vel,
+            torso_ang_vel_body=ps.omega,
+            foot_pos_body=foot_pos_body,
+            foot_contact=contacts_now,
+            joint_pos=joint_pos.reshape(-1),
+            joint_vel=jnp.zeros_like(joint_pos).reshape(-1),
+        )
+
+        # Raibert foothold targets (BaseInterface.cpp:266-288)
+        vel_d_rel = jnp.stack([joy.velx, joy.vely, jnp.zeros_like(joy.velx)])
+        default_rel = jnp.asarray(
+            [[0.20, 0.14, -0.3], [0.20, -0.14, -0.3], [-0.20, 0.14, -0.3], [-0.20, -0.14, -0.3]],
+            dtype=dtype,
+        )
+        target_world, _ = raibert_mod.foothold_targets(
+            ps.pos, ps.quat, ps.vel, vel_d_rel, default_rel, gait_freq
+        )
+        target_world = target_world.at[:, 2].set(0.0)  # feet land on the ground
+
+        gait = sched_mod.gait_update(
+            carry.gait,
+            pattern,
+            sp.wts.h,
+            jnp.asarray(gait_freq, dtype),
+            carry.feet_world,
+            target_world,
+            contacts_now > 0.5,
+        )
+        plan_contacts = sched_mod.contact_flags(gait, pattern).astype(dtype)
+
+        goal, cmd = goals.goal_update(carry.goal, fbk, joy, plan_contacts, dt=sp.wts.h)
+        cmd = cmd._replace(
+            pos_body_d=cmd.pos_body_d.at[2].set(sp.target_height - ps.pos[2])
+        )
+        out, _sol = grf_update(fbk, cmd, sp.wts)
+
+        # apply stance forces at the *current* feet; move swing feet to targets
+        f_body = out.grf_body * plan_contacts[:, None]
+        pp = sp.plant_params._replace(foot_pos_body=foot_pos_body)
+        new_plant = plant.step(ps, f_body, pp, sp.wts.h)
+        feet_world = jnp.where(
+            plan_contacts[:, None] > 0.5, carry.feet_world, gait.target_pos
+        )
+
+        ok = safety.is_safe(new_plant.quat, fbk.joint_vel)
+        ok = ok & safety.finite_state(new_plant) & (new_plant.pos[2] > 0.05)
+        alive = carry.alive & ok
+        kept_plant = jax.tree.map(
+            lambda new, old: jnp.where(alive, new, old), new_plant, ps
+        )
+
+        yaw = lie.quat_to_euler(kept_plant.quat)[2]
+        vel_rel = lie.rotz(yaw).T @ kept_plant.vel
+        metrics = WalkingMetrics(
+            mpc_cost=out.mpc_cost,
+            vel_err=jnp.abs(vel_rel[0] - joy.velx),
+            height_err=jnp.abs(kept_plant.pos[2] - sp.target_height),
+            alive=alive.astype(dtype),
+        )
+        return (
+            WalkingCarry(
+                plant=kept_plant, goal=goal, gait=gait, feet_world=feet_world, alive=alive
+            ),
+            metrics,
+        )
+
+    return control_step
+
+
+def init_walking_scenario(
+    wts: quat_mpc.QuatMpcWeights,
+    height: float = 0.3,
+    dtype=jnp.float32,
+):
+    from quaternion_mpc_tpu.gait import schedule as sched_mod
+
+    ps = plant.init_state(height=height, dtype=dtype)
+    default_rel = jnp.asarray(
+        [[0.20, 0.14, -0.3], [0.20, -0.14, -0.3], [-0.20, 0.14, -0.3], [-0.20, -0.14, -0.3]],
+        dtype=dtype,
+    )
+    feet_world = default_rel + ps.pos
+    feet_world = feet_world.at[:, 2].set(0.0)
+    pp = plant.PlantParams(
+        mass=wts.mass,
+        inertia=wts.inertia,
+        com_offset=wts.com_offset,
+        com_mass=wts.trunk_mass,
+        foot_pos_body=default_rel,
+    )
+    fbk = feedback_from_plant(ps, default_rel)
+    carry = WalkingCarry(
+        plant=ps,
+        goal=goals.init_goal_state(fbk),
+        gait=sched_mod.init_gait_state(feet_world, sched_mod.trot_pattern()),
+        feet_world=feet_world,
+        alive=jnp.asarray(True),
+    )
+    sp = ScenarioParams(wts=wts, plant_params=pp, target_height=jnp.asarray(height, dtype))
+    return carry, sp
 
 
 def init_scenario(

@@ -64,19 +64,33 @@ def _quat_cost_terms(x, Qd, w, x_ref, quat_idx):
     return val, g, corr
 
 
+def _w_at(w, k):
+    """Per-knot geodesic weight: w may be a scalar or a (N+1,) array
+    (SetQuaternionCost is called per knot in the reference, QuatMpc.cpp:227)."""
+    return w if jnp.ndim(w) == 0 else w[k]
+
+
 def _al_penalty(c, lam, rho):
     lam_bar = jnp.maximum(0.0, lam + rho * c)
     return (jnp.sum(lam_bar * lam_bar) - jnp.sum(lam * lam)) / (2.0 * rho)
 
 
-def _terminal_expansion(xN, cost: CostSpec, spec: ModelSpec):
-    _, gN, corrN = _quat_cost_terms(xN, cost.Qd, cost.w, cost.x_ref[-1], spec.quat_idx)
+def _terminal_expansion(xN, cost: CostSpec, spec: ModelSpec, prob=None, lamN=None, rho=None):
+    Qdf = cost.Qd if cost.Qdf is None else cost.Qdf
+    _, gN, corrN = _quat_cost_terms(xN, Qdf, _w_at(cost.w, -1), cost.x_ref[-1], spec.quat_idx)
     EN = discretize.error_projection(xN, spec.quat_idx, spec.ne)
     lxN = EN.T @ gN
-    lxxN = EN.T @ (cost.Qd[:, None] * EN)
+    lxxN = EN.T @ (Qdf[:, None] * EN)
     if spec.quat_idx is not None:
         att = jnp.arange(spec.quat_idx, spec.quat_idx + 3)
         lxxN = lxxN.at[att, att].add(corrN)
+    if prob is not None and prob.Cx is not None:
+        c = prob.Cx @ xN + prob.cb
+        lam_bar = jnp.maximum(0.0, lamN + rho * c)
+        active = (lamN + rho * c) > 0.0
+        CxE = prob.Cx @ EN
+        lxN = lxN + CxE.T @ lam_bar
+        lxxN = lxxN + rho * (CxE.T * active[None, :]) @ CxE
     return lxN, lxxN
 
 
@@ -106,36 +120,46 @@ def _discrete_step(spec: ModelSpec, x, u, params, h):
 def make_solver(spec: ModelSpec, opts: SolverOptions = SolverOptions()):
     """Build a jittable single-problem solver; `jax.vmap` it for fleets."""
 
+    def constraint_val(prob, x, u):
+        c = prob.Cu @ u + prob.cb
+        if prob.Cx is not None:
+            c = c + prob.Cx @ x
+        return c
+
     def total_cost(xs, us, prob, lam, rho):
         cost = prob.cost
         N = us.shape[0]
 
         def stage(k):
-            kc = CostSpec(cost.Qd, cost.Rd, cost.w, cost.x_ref[k], cost.u_ref[k])
+            kc = CostSpec(cost.Qd, cost.Rd, _w_at(cost.w, k), cost.x_ref[k], cost.u_ref[k])
             val, _, _ = _quat_cost_terms(xs[k], kc.Qd, kc.w, kc.x_ref, spec.quat_idx)
             du = us[k] - kc.u_ref
             val = val + 0.5 * jnp.sum(kc.Rd * du * du)
-            c = prob.Cu @ us[k] + prob.cb
+            c = constraint_val(prob, xs[k], us[k])
             return val + _al_penalty(c, lam[k], rho)
 
         stage_costs = jax.vmap(stage)(jnp.arange(N))
+        Qdf = cost.Qd if cost.Qdf is None else cost.Qdf
         term_val, _, _ = _quat_cost_terms(
-            xs[N], cost.Qd, cost.w, cost.x_ref[N], spec.quat_idx
+            xs[N], Qdf, _w_at(cost.w, -1), cost.x_ref[N], spec.quat_idx
         )
+        if prob.Cx is not None:
+            cN = prob.Cx @ xs[N] + prob.cb
+            term_val = term_val + _al_penalty(cN, lam[N], rho)
         return jnp.sum(stage_costs) + term_val
 
-    def backward_pass(As, Bs, lxs, lxxs, lus, luus, lxN, lxxN, reg):
+    def backward_pass(As, Bs, lxs, lxxs, lus, luus, luxs, lxN, lxxN, reg):
         nu = Bs.shape[-1]
         eye_u = jnp.eye(nu, dtype=Bs.dtype)
 
         def step(carry, inp):
             Vx, Vxx = carry
-            A, B, lx, lxx, lu, luu = inp
+            A, B, lx, lxx, lu, luu, lux = inp
             Qx = lx + A.T @ Vx
             Qu = lu + B.T @ Vx
             Qxx = lxx + A.T @ Vxx @ A
             Quu = luu + B.T @ Vxx @ B
-            Qux = B.T @ Vxx @ A
+            Qux = lux + B.T @ Vxx @ A
             chol = jnp.linalg.cholesky(Quu + reg * eye_u)
             d = -jax.scipy.linalg.cho_solve((chol, True), Qu)
             K = -jax.scipy.linalg.cho_solve((chol, True), Qux)
@@ -148,7 +172,7 @@ def make_solver(spec: ModelSpec, opts: SolverOptions = SolverOptions()):
             return (Vx_new, Vxx_new), (K, d, dV1, dV2, gnorm)
 
         (_, _), (Ks, ds, dV1s, dV2s, gnorms) = jax.lax.scan(
-            step, (lxN, lxxN), (As, Bs, lxs, lxxs, lus, luus), reverse=True
+            step, (lxN, lxxN), (As, Bs, lxs, lxxs, lus, luus, luxs), reverse=True
         )
         return Ks, ds, jnp.sum(dV1s), jnp.sum(dV2s), jnp.max(gnorms)
 
@@ -181,7 +205,7 @@ def make_solver(spec: ModelSpec, opts: SolverOptions = SolverOptions()):
             As, Bs = jax.vmap(dyn_exp)(jnp.arange(N))
 
             def cost_exp(k):
-                kc = CostSpec(cost.Qd, cost.Rd, cost.w, cost.x_ref[k], cost.u_ref[k])
+                kc = CostSpec(cost.Qd, cost.Rd, _w_at(cost.w, k), cost.x_ref[k], cost.u_ref[k])
                 _, g, corr = _quat_cost_terms(xs[k], kc.Qd, kc.w, kc.x_ref, spec.quat_idx)
                 E = discretize.error_projection(xs[k], spec.quat_idx, spec.ne)
                 lx = E.T @ g
@@ -191,18 +215,24 @@ def make_solver(spec: ModelSpec, opts: SolverOptions = SolverOptions()):
                     lxx = lxx.at[att, att].add(corr)
                 lu = kc.Rd * (us[k] - kc.u_ref)
                 luu = jnp.diag(kc.Rd)
-                c = prob.Cu @ us[k] + prob.cb
+                c = constraint_val(prob, xs[k], us[k])
                 lam_bar = jnp.maximum(0.0, lam[k] + rho * c)
                 active = (lam[k] + rho * c) > 0.0
                 lu = lu + prob.Cu.T @ lam_bar
                 luu = luu + rho * (prob.Cu.T * active[None, :]) @ prob.Cu
-                return lx, lxx, lu, luu
+                lux = jnp.zeros((spec.nu, spec.ne), dtype=xs.dtype)
+                if prob.Cx is not None:
+                    CxE = prob.Cx @ E
+                    lx = lx + CxE.T @ lam_bar
+                    lxx = lxx + rho * (CxE.T * active[None, :]) @ CxE
+                    lux = lux + rho * (prob.Cu.T * active[None, :]) @ CxE
+                return lx, lxx, lu, luu, lux
 
-            lxs, lxxs, lus, luus = jax.vmap(cost_exp)(jnp.arange(N))
-            lxN, lxxN = _terminal_expansion(xs[N], cost, spec)
+            lxs, lxxs, lus, luus, luxs = jax.vmap(cost_exp)(jnp.arange(N))
+            lxN, lxxN = _terminal_expansion(xs[N], cost, spec, prob, lam[N], rho)
 
             Ks, ds, dV1, dV2, gnorm = backward_pass(
-                As, Bs, lxs, lxxs, lus, luus, lxN, lxxN, reg
+                As, Bs, lxs, lxxs, lus, luus, luxs, lxN, lxxN, reg
             )
 
             def ls_cond(ls):
@@ -265,7 +295,9 @@ def make_solver(spec: ModelSpec, opts: SolverOptions = SolverOptions()):
         xs = jnp.concatenate([xs0, xN0[None]], axis=0)
         us = prob.us_init
 
-        lam = jnp.zeros((N, nc), dtype=dtype)
+        # multipliers: one row per stage knot + a terminal row (used only for
+        # state constraints; stays zero otherwise)
+        lam = jnp.zeros((N + 1, nc), dtype=dtype)
         rho = jnp.asarray(opts.penalty_initial, dtype)
         reg = jnp.asarray(opts.reg_initial, dtype)
         total_iters = jnp.asarray(0, jnp.int32)
@@ -294,8 +326,11 @@ def make_solver(spec: ModelSpec, opts: SolverOptions = SolverOptions()):
                 length=opts.ilqr_iterations,
             )
             xs, us, lam, rho, reg, J, _, n_inner, gnorm = state
-            cvals = jax.vmap(lambda u: prob.Cu @ u + prob.cb)(us)
-            lam = jnp.maximum(0.0, lam + rho * cvals)
+            cvals = jax.vmap(lambda x, u: constraint_val(prob, x, u))(xs[:-1], us)
+            lam = lam.at[:-1].set(jnp.maximum(0.0, lam[:-1] + rho * cvals))
+            if prob.Cx is not None:
+                cN = prob.Cx @ xs[-1] + prob.cb
+                lam = lam.at[-1].set(jnp.maximum(0.0, lam[-1] + rho * cN))
             rho = rho * opts.penalty_scaling
             return (xs, us, lam, rho, reg, total_iters + n_inner, gnorm), None
 
@@ -303,7 +338,7 @@ def make_solver(spec: ModelSpec, opts: SolverOptions = SolverOptions()):
         carry, _ = jax.lax.scan(al_body, carry, None, length=opts.al_iterations)
         xs, us, lam, rho, reg, total_iters, gnorm = carry
 
-        cvals = jax.vmap(lambda u: prob.Cu @ u + prob.cb)(us)
+        cvals = jax.vmap(lambda x, u: constraint_val(prob, x, u))(xs[:-1], us)
         viol = (
             jnp.max(jnp.maximum(cvals, 0.0)) if nc > 0 else jnp.zeros((), dtype)
         )

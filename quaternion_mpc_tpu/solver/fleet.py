@@ -150,6 +150,7 @@ class FleetProblem(NamedTuple):
     h: jnp.ndarray
     params: object
     us_init: jnp.ndarray
+    Qdf: Optional[jnp.ndarray] = None  # terminal state weight (None -> Qd)
 
 
 # ---------------------------------------------------------------------------
@@ -281,7 +282,8 @@ def make_fleet_solver(spec: FleetModelSpec, opts: SolverOptions = SolverOptions(
             xs[:-1], us, prob.x_ref[:-1], prob.u_ref[:-1], lam
         )
         dxN = xs[-1] - prob.x_ref[-1]
-        term = 0.5 * jnp.sum(prob.Qd * dxN * dxN, axis=0)
+        Qdf = prob.Qd if prob.Qdf is None else prob.Qdf
+        term = 0.5 * jnp.sum(Qdf * dxN * dxN, axis=0)
         if qi is not None:
             dot = jnp.sum(xs[-1][qi : qi + 4] * prob.x_ref[-1][qi : qi + 4], axis=0)
             term = term + prob.w * (1.0 - jnp.abs(dot))
@@ -313,7 +315,8 @@ def make_fleet_solver(spec: FleetModelSpec, opts: SolverOptions = SolverOptions(
         return lx, lxx, lu, luu
 
     def terminal_expansion(xN, prob):
-        g = prob.Qd * (xN - prob.x_ref[-1])
+        Qdf = prob.Qd if prob.Qdf is None else prob.Qdf
+        g = Qdf * (xN - prob.x_ref[-1])
         corr = None
         if qi is not None:
             q = xN[qi : qi + 4]
@@ -323,7 +326,7 @@ def make_fleet_solver(spec: FleetModelSpec, opts: SolverOptions = SolverOptions(
             corr = -jnp.sum(q * g[qi : qi + 4], axis=0)
         E = _error_proj_bl(xN, qi, ne)
         lx = bmv(bt(E), g)
-        lxx = bmm(bt(E) * prob.Qd[None, :, :], E)
+        lxx = bmm(bt(E) * Qdf[None, :, :], E)
         if qi is not None:
             idx = jnp.arange(qi, qi + 3)
             lxx = lxx.at[idx, idx].add(corr)

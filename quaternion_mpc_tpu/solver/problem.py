@@ -53,6 +53,8 @@ class CostSpec(NamedTuple):
 
     Shapes: Qd (nx,), Rd (nu,), w scalar, x_ref (N+1, nx), u_ref (N+1, nu).
     ``w = 0`` recovers the plain LQR cost used by the Euler convex MPC.
+    Qdf: optional distinct terminal state weight (None -> Qd), e.g. the
+    bicycle MPC's Qdf = 1e1 vs Qd = 1e-2 (TestBicycle.cpp:50-52).
     """
 
     Qd: jnp.ndarray
@@ -60,15 +62,19 @@ class CostSpec(NamedTuple):
     w: jnp.ndarray
     x_ref: jnp.ndarray
     u_ref: jnp.ndarray
+    Qdf: Optional[jnp.ndarray] = None
 
 
 class TrajOptProblem(NamedTuple):
     """One trajectory-optimization instance (a pytree; vmap over a batch axis).
 
-    Cu/cb: linear input inequality ``Cu @ u + cb ≤ 0`` applied at knots
-    0..N-1 (friction pyramid + force bounds; 6 rows per foot in the reference,
-    ``QuatMpc.cpp:47-52,194-215``). Use zero-row arrays for unconstrained
-    problems.
+    Linear inequality ``Cx @ x + Cu @ u + cb ≤ 0``:
+    - Cu (nc, nu): input rows (friction pyramid + force bounds; 6 rows per
+      foot in the reference, ``QuatMpc.cpp:47-52,194-215``), knots 0..N-1.
+    - Cx (nc, nx) or None: state rows (e.g. the bicycle steering bound,
+      ``TestBicycle.cpp:93-105``). When present the constraint is also
+      enforced at the terminal knot (with u = 0).
+    Use zero-row arrays for unconstrained problems.
     """
 
     x0: jnp.ndarray
@@ -78,6 +84,7 @@ class TrajOptProblem(NamedTuple):
     h: jnp.ndarray
     params: Any
     us_init: jnp.ndarray  # (N, nu) input warm start
+    Cx: Optional[jnp.ndarray] = None
 
 
 class SolverOptions(NamedTuple):
