@@ -94,6 +94,38 @@ def cho_solve_bl(L, b):
     return _solve_tril_T(L, y, vec)
 
 
+def solve_spd_multi(A, rhs_list):
+    """Solve A·X = RHS for an SPD (n, n, B) stack against several RHS at once
+    via Gauss-Jordan row elimination on the augmented system.
+
+    rhs_list: list of (n, B) or (n, m, B) arrays. Returns solutions in the
+    same shapes. Row operations act on whole (n_aug, B) slabs, which maps to
+    far fewer / wider VPU ops than a scalar-unrolled Cholesky (the batch B is
+    the lane axis). No pivoting — callers pass a regularized SPD matrix.
+    """
+    n = A.shape[0]
+    cols = [A]
+    shapes = []
+    for r in rhs_list:
+        shapes.append(r.ndim)
+        cols.append(r[:, None, :] if r.ndim == 2 else r)
+    M = jnp.concatenate(cols, axis=1)  # (n, n_aug, B)
+    for j in range(n):
+        pivot = M[j, j]  # (B,)
+        row_j = M[j] / pivot[None, :]  # (n_aug, B)
+        factors = M[:, j]  # (n, B)
+        M = M - factors[:, None, :] * row_j[None, :, :]
+        M = M.at[j].set(row_j)
+    out = []
+    ofs = n
+    for r, nd in zip(rhs_list, shapes):
+        width = 1 if nd == 2 else r.shape[1]
+        sol = M[:, ofs : ofs + width]
+        out.append(sol[:, 0] if nd == 2 else sol)
+        ofs += width
+    return out
+
+
 def _solve_tril_T(L, y, vec: bool):
     """Solve Lᵀ x = y."""
     n = L.shape[0]
@@ -345,9 +377,8 @@ def make_fleet_solver(spec: FleetModelSpec, opts: SolverOptions = SolverOptions(
             Qxx = lxx + bmm(AtV, A)
             Quu = luu + bmm(BtV, B_)
             Qux = bmm(BtV, A)
-            L = cholesky_bl(Quu + reg * eye_u)
-            d = -cho_solve_bl(L, Qu)
-            K = -cho_solve_bl(L, Qux)
+            d, K = solve_spd_multi(Quu + reg * eye_u, [Qu, Qux])
+            d, K = -d, -K
             KtQuu = bmm(bt(K), Quu)
             Vx_n = Qx + bmv(KtQuu, d) + bmv(bt(K), Qu) + bmv(bt(Qux), d)
             Vxx_n = Qxx + bmm(KtQuu, K) + bmm(bt(K), Qux) + bmm(bt(Qux), K)
