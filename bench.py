@@ -38,7 +38,11 @@ def main():
     )
     step_jit = jax.jit(ctrl)
 
+    # IMPORTANT: no device->host pulls (float()/np.asarray of jax arrays)
+    # until ALL timing loops are done — on this backend a single pull
+    # permanently degrades subsequent dispatches to ~25 ms.
     best = None
+    costs = []
     for batch in (256, 1024, 4096):
         args = _example_batch(batch=batch, horizon=horizon, dtype=dtype)
         args = jax.device_put(args, dev)
@@ -56,14 +60,17 @@ def main():
         p50 = float(np.median(times))
         solves_per_sec = batch / p50
         per_solve_ms = p50 / batch * 1e3
+        costs.append((batch, p50, solves_per_sec, per_solve_ms, jnp.mean(cost)))
+        if best is None or solves_per_sec > best[0]:
+            best = (solves_per_sec, p50, batch)
+
+    for batch, p50, solves_per_sec, per_solve_ms, mean_cost in costs:
         print(
             f"[bench] batch={batch}: p50 step {p50*1e3:.2f} ms, "
             f"{solves_per_sec:,.0f} solves/s, {per_solve_ms:.4f} ms/solve, "
-            f"mean cost {float(jnp.mean(cost)):.4f}",
+            f"mean cost {float(mean_cost):.4f}",
             file=sys.stderr,
         )
-        if best is None or solves_per_sec > best[0]:
-            best = (solves_per_sec, p50, batch)
 
     solves_per_sec, p50, batch = best
     # reference: 200 solves/s per robot controller (BASELINE.md)

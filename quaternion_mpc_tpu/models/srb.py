@@ -270,7 +270,13 @@ def quat_srb_dynamics_fleet(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp
 
 
 def quat_srb_jacobian_fleet(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp.ndarray:
-    """Batch-last analytic Jacobian (13, 13+3·n_feet, B)."""
+    """Batch-last analytic Jacobian (13, 13+3·n_feet, B).
+
+    Assembled scatter-free: every block is built by stack/concat of
+    elementwise (B,)-vectors, so XLA lowers it to fused VPU work instead of
+    TPU scatter ops (integer-array `.at[].set` lowers to scatter, which
+    serializes and costs ~ms at fleet batch sizes).
+    """
     del u
     B = x.shape[-1]
     dtype = x.dtype
@@ -279,10 +285,20 @@ def quat_srb_jacobian_fleet(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp
     n_feet = p.foot_pos.shape[0]
     n_u = 3 * n_feet
 
-    J = jnp.zeros((13, 13 + n_u, B), dtype=dtype)
-    idx3 = jnp.arange(3)
-    J = J.at[idx3, 7 + idx3].set(jnp.ones((3, B), dtype=dtype))
-    # dq̇/dq = ½·R_mult([0, ω])
+    def zeros(*shape):
+        return jnp.zeros(shape + (B,), dtype=dtype)
+
+    def bcast(a, *shape):
+        return jnp.broadcast_to(a, shape + (B,))
+
+    eye3 = jnp.eye(3, dtype=dtype)[..., None]  # (3, 3, 1)
+
+    # rows 0-2 (ṗ = v): I₃ at cols 7-9
+    top = jnp.concatenate(
+        [zeros(3, 7), bcast(eye3, 3, 3), zeros(3, 3 + n_u)], axis=1
+    )
+
+    # rows 3-6 (q̇): ½R([0,ω]) at cols 3-6, ½G(q) at cols 10-12
     wx, wy, wz = omega[0], omega[1], omega[2]
     zero = jnp.zeros_like(wx)
     Rw = jnp.stack(
@@ -293,15 +309,25 @@ def quat_srb_jacobian_fleet(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp
             jnp.stack([wz, wy, -wx, zero]),
         ]
     )
-    J = J.at[3:7, 3:7].set(0.5 * Rw)
-    J = J.at[3:7, 10:13].set(0.5 * _quat_G_bl(q))
+    qrows = jnp.concatenate(
+        [
+            zeros(4, 3),
+            bcast(0.5 * Rw, 4, 4),
+            zeros(4, 3),
+            bcast(0.5 * _quat_G_bl(q), 4, 3),
+            zeros(4, n_u),
+        ],
+        axis=1,
+    )
 
-    inv_inertia = _inv3_bl(p.inertia)  # (3,3,B|1)
-    mass_inv = 1.0 / p.mass
+    # rows 7-9 (v̇): I₃/m tiled per foot at cols 13+  (mass is (B,) or (1,1))
+    dv_du = bcast(jnp.tile(eye3 * (1.0 / p.mass), (1, n_feet, 1)), 3, n_u)
+    vrows = jnp.concatenate([zeros(3, 13), dv_du], axis=1)
+
+    # rows 10-12 (ω̇): I⁻¹·skew(r_i) per foot at cols 13+3i
+    inv_inertia = _inv3_bl(p.inertia)  # (3, 3, B|1)
+    blks = []
     for i in range(n_feet):
-        J = J.at[7 + idx3, 13 + 3 * i + idx3].set(
-            jnp.broadcast_to(mass_inv, (3, B))
-        )
         r = p.foot_pos[i]  # (3, B|1)
         rx, ry, rz = r[0], r[1], r[2]
         zz = jnp.zeros_like(rx)
@@ -313,10 +339,10 @@ def quat_srb_jacobian_fleet(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp
             ]
         )
         blk = jnp.einsum("ik...,kj...->ij...", inv_inertia, skew_r, precision=_PRECISION)
-        J = J.at[10:13, 13 + 3 * i : 16 + 3 * i].set(
-            jnp.broadcast_to(blk, (3, 3, B))
-        )
-    return J
+        blks.append(bcast(blk, 3, 3))
+    wrows = jnp.concatenate([zeros(3, 13)] + blks, axis=1)
+
+    return jnp.concatenate([top, qrows, vrows, wrows], axis=0)
 
 
 def euler_srb_jacobian(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp.ndarray:

@@ -213,23 +213,42 @@ def _quat_err_bl(q, q_ref):
 
 
 def _error_proj_bl(x, quat_idx, ne):
-    """E(x): (nx, ne, B) built from identity blocks + G(q)."""
+    """E(x): (nx, ne, B) = blkdiag(I_qi, G(q), I_rest), scatter-free.
+
+    Built from stacked/concatenated blocks (never integer-array `.at[]`,
+    which lowers to serialized TPU scatter ops).
+    """
     nx = x.shape[0]
     B = x.shape[-1]
+    dtype = x.dtype
     if quat_idx is None:
-        return jnp.broadcast_to(jnp.eye(nx, dtype=x.dtype)[..., None], (nx, nx, B))
+        return jnp.broadcast_to(jnp.eye(nx, dtype=dtype)[..., None], (nx, nx, B))
     qi = quat_idx
-    E = jnp.zeros((nx, ne, B), dtype=x.dtype)
-    eye_top = jnp.broadcast_to(jnp.eye(nx, ne, dtype=x.dtype)[..., None], (nx, ne, B))
-    mask_top = (jnp.arange(nx) < qi)[:, None, None]
-    E = jnp.where(mask_top, eye_top, E)
-    G = _quat_G_bl(x[qi : qi + 4])
-    E = E.at[qi : qi + 4, qi : qi + 3].set(G)
     rest = nx - qi - 4
+
+    def zeros(r, c):
+        return jnp.zeros((r, c, B), dtype=dtype)
+
+    top = jnp.concatenate(
+        [
+            jnp.broadcast_to(jnp.eye(qi, dtype=dtype)[..., None], (qi, qi, B)),
+            zeros(qi, ne - qi),
+        ],
+        axis=1,
+    )
+    G = jnp.broadcast_to(_quat_G_bl(x[qi : qi + 4]), (4, 3, B))
+    mid = jnp.concatenate([zeros(4, qi), G, zeros(4, ne - qi - 3)], axis=1)
+    blocks = [top, mid]
     if rest > 0:
-        idx_r = jnp.arange(rest)
-        E = E.at[qi + 4 + idx_r, qi + 3 + idx_r].set(jnp.ones((rest, B), dtype=x.dtype))
-    return E
+        bot = jnp.concatenate(
+            [
+                zeros(rest, qi + 3),
+                jnp.broadcast_to(jnp.eye(rest, dtype=dtype)[..., None], (rest, rest, B)),
+            ],
+            axis=1,
+        )
+        blocks.append(bot)
+    return jnp.concatenate(blocks, axis=0)
 
 
 def _state_diff_bl(x, x_ref, quat_idx):
@@ -284,6 +303,13 @@ def make_fleet_solver(spec: FleetModelSpec, opts: SolverOptions = SolverOptions(
     """Returns solve(prob: FleetProblem) -> FleetSolution, fully batch-last."""
     qi = spec.quat_idx
     ne = spec.ne
+    if qi is not None:
+        # constant (ne, ne, 1) mask selecting the attitude-error diagonal —
+        # `lxx + mask * corr` instead of a serialized `.at[idx, idx].add`
+        _att_diag = jnp.zeros((ne, ne))
+        for _i in range(qi, qi + 3):
+            _att_diag = _att_diag.at[_i, _i].set(1.0)
+        _att_diag = _att_diag[..., None]
 
     def stage_cost_terms(x, u, x_ref, u_ref, prob):
         """Per-knot cost value (B,)."""
@@ -335,8 +361,7 @@ def make_fleet_solver(spec: FleetModelSpec, opts: SolverOptions = SolverOptions(
         lx = bmv(bt(E), g)
         lxx = bmm(bt(E) * prob.Qd[None, :, :], E)
         if qi is not None:
-            idx = jnp.arange(qi, qi + 3)
-            lxx = lxx.at[idx, idx].add(corr)
+            lxx = lxx + _att_diag.astype(x.dtype) * corr
         lu = prob.Rd * (u - u_ref)
         luu = jnp.eye(spec.nu, dtype=x.dtype)[..., None] * prob.Rd[None, :, :]
         c = bmv(prob.Cu, u) + prob.cb
@@ -360,8 +385,7 @@ def make_fleet_solver(spec: FleetModelSpec, opts: SolverOptions = SolverOptions(
         lx = bmv(bt(E), g)
         lxx = bmm(bt(E) * Qdf[None, :, :], E)
         if qi is not None:
-            idx = jnp.arange(qi, qi + 3)
-            lxx = lxx.at[idx, idx].add(corr)
+            lxx = lxx + _att_diag.astype(xN.dtype) * corr
         return lx, lxx
 
     def backward(As, Bs, lxs, lxxs, lus, luus, lxN, lxxN, reg):

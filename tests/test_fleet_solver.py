@@ -107,5 +107,7 @@ def test_fleet_controller_matches_vmapped():
     single_ctrl = quat_mpc.make_controller(N, opts)
     out, sol = jax.jit(jax.vmap(single_ctrl))(fbk, cmd, wts)
 
-    np.testing.assert_allclose(np.array(grf_fleet), np.array(out.grf_world), atol=1e-6)
-    np.testing.assert_allclose(np.array(cost_fleet), np.array(sol.stats.cost), atol=1e-8)
+    # forces are O(40 N); 1e-5 N absolute allows op-reordering rounding drift
+    # amplified through 10 iLQR iterations (identical algorithm, fused graph)
+    np.testing.assert_allclose(np.array(grf_fleet), np.array(out.grf_world), atol=1e-5)
+    np.testing.assert_allclose(np.array(cost_fleet), np.array(sol.stats.cost), atol=1e-7)
