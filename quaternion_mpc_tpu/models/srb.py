@@ -253,9 +253,8 @@ def quat_srb_dynamics_fleet(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp
     omega = x[10:13]
     n_feet = p.foot_pos.shape[0]
 
-    g_world = jnp.array([0.0, 0.0, -GRAVITY], dtype=x.dtype)
-    # g_body = Rᵀ g_world  (rot (3,3,B))
-    g_body = jnp.einsum("ji...,j->i...", p.rot_body_to_world, g_world, precision=_PRECISION)
+    # g_body = Rᵀ g_world = -G·(row 2 of R); mul+sum form fuses on the VPU
+    g_body = -GRAVITY * p.rot_body_to_world[2]
 
     forces = u.reshape(n_feet, 3, -1)
     total_force = jnp.sum(forces, axis=0)
@@ -263,9 +262,9 @@ def quat_srb_dynamics_fleet(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp
     moment = moment + jnp.cross(p.com_offset, p.com_mass * g_body, axis=0)
 
     p_dot = v
-    q_dot = 0.5 * jnp.einsum("ij...,j...->i...", _quat_G_bl(q), omega, precision=_PRECISION)
+    q_dot = 0.5 * jnp.sum(_quat_G_bl(q) * omega[None, :, :], axis=1)
     v_dot = total_force / p.mass + g_body
-    omega_dot = jnp.einsum("ij...,j...->i...", _inv3_bl(p.inertia), moment, precision=_PRECISION)
+    omega_dot = jnp.sum(_inv3_bl(p.inertia) * moment[None, :, :], axis=1)
     return jnp.concatenate([p_dot, q_dot, v_dot, omega_dot], axis=0)
 
 
@@ -338,7 +337,7 @@ def quat_srb_jacobian_fleet(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp
                 jnp.stack([-ry, rx, zz]),
             ]
         )
-        blk = jnp.einsum("ik...,kj...->ij...", inv_inertia, skew_r, precision=_PRECISION)
+        blk = jnp.sum(inv_inertia[:, :, None, :] * skew_r[None, :, :, :], axis=1)
         blks.append(bcast(blk, 3, 3))
     wrows = jnp.concatenate([zeros(3, 13)] + blks, axis=1)
 

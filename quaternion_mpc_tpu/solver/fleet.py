@@ -32,20 +32,23 @@ from quaternion_mpc_tpu.solver.problem import SolverOptions
 # ---------------------------------------------------------------------------
 
 
-# Full-f32 accumulation: the TPU default routes these contractions through
-# bf16 MXU passes, which visibly degrades AL-iLQR convergence (measured:
-# final cost 2.20 vs 0.42 at B=1024). ~15% slower, required for correctness.
-_PRECISION = jax.lax.Precision.HIGHEST
+# Tiny-matrix contractions as broadcast-multiply + sum, NOT einsum/dot:
+# dot_general on batch-trailing (n, k, B) stacks compiles to standalone
+# tiny-MXU kernels that cannot fuse with neighbors (measured ~100 us/bmm),
+# while the mul+sum form is pure elementwise+reduce that XLA fuses across
+# the whole backward pass (measured: a fused chain of 100 runs at the
+# dispatch floor, i.e. <10 us/bmm). Also keeps full f32 on the VPU — the
+# MXU path's bf16 passes degraded AL-iLQR convergence (cost 2.20 vs 0.42).
 
 
 def bmm(A, B):
     """(n, k, B) @ (k, m, B) -> (n, m, B)."""
-    return jnp.einsum("ik...,kj...->ij...", A, B, precision=_PRECISION)
+    return jnp.sum(A[:, :, None, :] * B[None, :, :, :], axis=1)
 
 
 def bmv(A, x):
     """(n, k, B) @ (k, B) -> (n, B)."""
-    return jnp.einsum("ik...,k...->i...", A, x, precision=_PRECISION)
+    return jnp.sum(A * x[None, :, :], axis=1)
 
 
 def bt(A):
