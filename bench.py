@@ -43,7 +43,7 @@ def main():
     # permanently degrades subsequent dispatches to ~25 ms.
     best = None
     costs = []
-    for batch in (256, 1024, 4096):
+    for batch in (256, 1024, 4096, 16384):
         args = _example_batch(batch=batch, horizon=horizon, dtype=dtype)
         args = jax.device_put(args, dev)
         # compile + warmup

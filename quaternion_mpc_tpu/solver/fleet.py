@@ -24,6 +24,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from quaternion_mpc_tpu.solver.problem import SolverOptions
 
@@ -391,12 +392,21 @@ def make_fleet_solver(spec: FleetModelSpec, opts: SolverOptions = SolverOptions(
             lxx = lxx + _att_diag.astype(xN.dtype) * corr
         return lx, lxx
 
-    def backward(As, Bs, lxs, lxxs, lus, luus, lxN, lxxN, reg):
-        eye_u = jnp.eye(spec.nu, dtype=As.dtype)[..., None]
+    def backward(prob, xs, us, lam, rho, reg):
+        """Fused expansion + Riccati sweep: the per-knot dynamics/cost
+        expansions are computed INSIDE the reverse scan step, so the
+        (N, ne, ne, B) stacks never round-trip through HBM."""
+        eye_u = jnp.eye(spec.nu, dtype=xs.dtype)[..., None]
 
         def step(carry, inp):
             Vx, Vxx = carry
-            A, B_, lx, lxx, lu, luu = inp
+            x, x1, u, x_ref, u_ref, k_lam = inp
+            Ad, Bd = _fleet_discrete_jac(spec, x, u, prob.params, prob.h)
+            E0 = _error_proj_bl(x, qi, ne)
+            E1 = _error_proj_bl(x1, qi, ne)
+            A = bmm(bt(E1), bmm(Ad, E0))
+            B_ = bmm(bt(E1), Bd)
+            lx, lxx, lu, luu = cost_expansion(x, u, x_ref, u_ref, k_lam, rho, prob)
             AtV = bmm(bt(A), Vxx)
             BtV = bmm(bt(B_), Vxx)
             Qx = lx + bmv(bt(A), Vx)
@@ -414,8 +424,12 @@ def make_fleet_solver(spec: FleetModelSpec, opts: SolverOptions = SolverOptions(
             dV2 = 0.5 * jnp.sum(d * bmv(Quu, d), axis=0)
             return (Vx_n, Vxx_n), (K, d, dV1, dV2, jnp.max(jnp.abs(Qu), axis=0))
 
+        lxN, lxxN = terminal_expansion(xs[-1], prob)
         (_, _), (Ks, ds, dV1s, dV2s, gs) = jax.lax.scan(
-            step, (lxN, lxxN), (As, Bs, lxs, lxxs, lus, luus), reverse=True
+            step,
+            (lxN, lxxN),
+            (xs[:-1], xs[1:], us, prob.x_ref[:-1], prob.u_ref[:-1], lam),
+            reverse=True,
         )
         return Ks, ds, jnp.sum(dV1s, axis=0), jnp.sum(dV2s, axis=0), jnp.max(gs, axis=0)
 
@@ -462,45 +476,38 @@ def make_fleet_solver(spec: FleetModelSpec, opts: SolverOptions = SolverOptions(
         rho0 = jnp.asarray(opts.penalty_initial, dtype)
         reg0 = jnp.full((B,), opts.reg_initial, dtype=dtype)
 
+        # Backtracking alphas 1, 1/2, ... evaluated in PARALLEL (lane-widening),
+        # not serially: the reference-style while_loop backtracker runs the
+        # fleet to the WORST scenario's try count (any straggler serializes
+        # 4096 lanes through up to 12 full rollouts). One K-wide rollout pass
+        # selects, per scenario, the first (largest) alpha passing Armijo —
+        # identical accept semantics to serial backtracking with K tries.
+        n_alpha = min(opts.max_linesearch, 8)
+        alphas = jnp.asarray(0.5 ** np.arange(n_alpha), dtype)
+
         def ilqr_iteration(state):
             xs, us, lam, rho, reg, J, done, n_iter = state
-            As, Bs, lxs, lxxs, lus, luus = expansions(prob, xs, us, lam, rho)
-            lxN, lxxN = terminal_expansion(xs[-1], prob)
-            Ks, ds, dV1, dV2, gnorm = backward(
-                As, Bs, lxs, lxxs, lus, luus, lxN, lxxN, reg
-            )
+            Ks, ds, dV1, dV2, gnorm = backward(prob, xs, us, lam, rho, reg)
 
-            def ls_cond(ls):
-                _, _, _, accepted, tries = ls
-                return jnp.logical_and(jnp.any(~accepted), tries < opts.max_linesearch)
+            def roll_one(alpha):
+                xs_a, us_a = rollout(prob, xs, us, Ks, ds, alpha * jnp.ones((B,), dtype))
+                return xs_a, us_a, total_cost(xs_a, us_a, prob, lam, rho)
 
-            def ls_body(ls):
-                alpha, (xs_b, us_b), J_b, accepted, tries = ls
-                a_try = jnp.where(accepted, jnp.zeros_like(alpha), alpha)
-                xs_new, us_new = rollout(prob, xs, us, Ks, ds, a_try)
-                J_new = total_cost(xs_new, us_new, prob, lam, rho)
-                expected = -(a_try * dV1 + a_try * a_try * dV2)
-                ok = jnp.where(
-                    expected > 0.0,
-                    (J - J_new) / jnp.maximum(expected, 1e-30) > 1e-4,
-                    J_new < J + 1e-12,
-                )
-                ok = ok & jnp.isfinite(J_new) & ~accepted
-                xs_b = jnp.where(ok[None, None, :], xs_new, xs_b)
-                us_b = jnp.where(ok[None, None, :], us_new, us_b)
-                J_b = jnp.where(ok, J_new, J_b)
-                return (alpha * 0.5, (xs_b, us_b), J_b, accepted | ok, tries + 1)
-
-            ls0 = (
-                jnp.ones((B,), dtype),
-                (xs, us),
-                J,
-                jnp.zeros((B,), dtype=bool),
-                jnp.asarray(0),
+            xs_m, us_m, J_m = jax.vmap(roll_one)(alphas)  # (K, ...), J_m (K, B)
+            expected = -(alphas[:, None] * dV1[None, :] + (alphas**2)[:, None] * dV2[None, :])
+            ok = jnp.where(
+                expected > 0.0,
+                (J[None, :] - J_m) / jnp.maximum(expected, 1e-30) > 1e-4,
+                J_m < J[None, :] + 1e-12,
             )
-            _, (xs_ls, us_ls), J_ls, accepted, _ = jax.lax.while_loop(
-                ls_cond, ls_body, ls0
-            )
+            ok = ok & jnp.isfinite(J_m)
+            accepted = jnp.any(ok, axis=0)
+            first = jnp.argmax(ok, axis=0)  # first True along descending alphas
+            sel = (jnp.arange(n_alpha)[:, None] == first[None, :]) & ok
+            w = sel.astype(dtype)
+            xs_ls = jnp.sum(w[:, None, None, :] * xs_m, axis=0)
+            us_ls = jnp.sum(w[:, None, None, :] * us_m, axis=0)
+            J_ls = jnp.sum(w * J_m, axis=0) + jnp.where(accepted, 0.0, J)
 
             improved = accepted & (J_ls < J)
             take = improved & ~done

@@ -4,6 +4,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_ = np.asarray(jnp.zeros(()) + 1.0)  # enter sync-dispatch mode
+_FLOOR = [0.0]
+
 from quaternion_mpc_tpu.control import quat_mpc
 from quaternion_mpc_tpu.solver import SolverOptions
 from quaternion_mpc_tpu.solver import fleet as fl
@@ -30,9 +33,19 @@ def timeit(name, fn, *args):
         out = fn(*args)
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
-    print(f"{name:30s} {np.median(ts)*1e3:8.2f} ms")
+    real = np.median(ts) * 1e3 - _FLOOR[0]
+    print(f"{name:30s} {np.median(ts)*1e3:8.2f} ms   (real ~{real:8.2f} ms)")
     return out
 
+
+noop = jax.jit(lambda p: p.x0[0, 0] + 1.0)
+out = noop(prob); jax.block_until_ready(out)
+ts = []
+for _ in range(10):
+    t0 = time.perf_counter(); out = noop(prob); jax.block_until_ready(out)
+    ts.append(time.perf_counter() - t0)
+_FLOOR[0] = np.median(ts) * 1e3
+print(f"{'noop floor':30s} {_FLOOR[0]:8.2f} ms")
 
 # Build the internal pieces the same way make_fleet_solver does.
 solver = fl.make_fleet_solver(spec, opts)
