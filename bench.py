@@ -30,6 +30,10 @@ def main():
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
 
+    # enter sync-dispatch mode BEFORE timing: a fresh process on this backend
+    # is in a lazy mode where block_until_ready returns without waiting
+    _ = np.asarray(jnp.zeros(()) + 1.0)
+
     horizon = 10
     dtype = jnp.float32
     # online solver budget: iterations_max=10 (QuatMpc.cpp:22) → 2 AL × 5 iLQR

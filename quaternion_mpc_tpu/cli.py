@@ -1,0 +1,308 @@
+"""Command-line entry points (SURVEY.md §7.9 — the launch-file layer).
+
+The reference's user surface is `roslaunch legged_ctrl
+{gazebo,hardware}_go1_{convex_mpc,quat_mpc}.launch` + a joystick
+(``README.md:72-79``). The TPU-native equivalents run the same controllers
+closed-loop against the in-framework plant, batched over a scenario fleet:
+
+    python -m quaternion_mpc_tpu.cli run_standing --batch 64 --steps 200
+    python -m quaternion_mpc_tpu.cli run_trot --velx 0.4 --seconds 4
+    python -m quaternion_mpc_tpu.cli run_fleet --batch 4096 --steps 100 \
+        --checkpoint /tmp/fleet.ckpt
+    python -m quaternion_mpc_tpu.cli bench_solver --batch 4096
+
+Each command prints a one-line JSON summary on stdout (details on stderr)
+and optionally streams LeggedLogger-style telemetry with --log.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--batch", type=int, default=64, help="fleet size")
+    p.add_argument("--steps", type=int, default=100, help="control ticks")
+    p.add_argument("--horizon", type=int, default=10, help="MPC horizon N")
+    p.add_argument("--config", default="gazebo_go1_quat_mpc",
+                   help="config preset name (utils.config.presets)")
+    p.add_argument("--log", default=None, help="telemetry JSONL path")
+    p.add_argument("--f64", action="store_true", help="run in float64")
+
+
+def _setup(args):
+    import os
+
+    import jax
+
+    # the baked axon sitecustomize overrides jax_platforms at interpreter
+    # start; honor an explicit JAX_PLATFORMS from the user (e.g. =cpu for
+    # virtual multi-device meshes) by overriding it back
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import jax.numpy as jnp
+
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if args.f64 else jnp.float32
+
+    from quaternion_mpc_tpu.control import quat_mpc
+    from quaternion_mpc_tpu.utils import config as cfg_mod
+
+    table = cfg_mod.presets()
+    if args.config not in table:
+        raise SystemExit(
+            f"unknown --config '{args.config}'; choose from: {', '.join(sorted(table))}"
+        )
+    cfg = table[args.config]()
+    wts = quat_mpc.weights_from_config(cfg, dtype=dtype)
+
+    # force synchronous dispatch before any timing: on the axon TPU tunnel a
+    # fresh process is in a lazy mode where block_until_ready returns without
+    # waiting (timings would be fiction); the first device->host pull
+    # switches to sync mode permanently.
+    import numpy as _np
+
+    _ = _np.asarray(jnp.zeros(()) + 1.0)
+    return jax, jnp, dtype, cfg, wts
+
+
+def _tile(jnp, tree, batch):
+    import jax
+
+    return jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape), tree)
+
+
+def _run_loop(args, make_step, init_carry, joy, sp, metric_names):
+    """Shared closed-loop driver: scan the fleet step, report metrics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quaternion_mpc_tpu.utils import telemetry
+
+    step_fn = make_step()
+    vstep = jax.vmap(step_fn)
+
+    def body(carry, _):
+        return vstep(carry, sp, joy)
+
+    @jax.jit
+    def run(carry):
+        return jax.lax.scan(body, carry, None, length=args.steps)
+
+    t0 = time.perf_counter()
+    carry, metrics = run(init_carry)
+    jax.block_until_ready(carry)
+    wall = time.perf_counter() - t0
+
+    logger = telemetry.TelemetryLogger(args.log)
+    out = {"steps": args.steps, "batch": args.batch, "wall_s": round(wall, 3)}
+    m_np = {k: np.asarray(getattr(metrics, k)) for k in metric_names}
+    for k, v in m_np.items():
+        out[f"{k}_final"] = round(float(v[-1].mean()), 5)
+    out["alive_frac"] = round(float(m_np["alive"][-1].mean()), 4)
+    out["solves_per_sec"] = round(args.steps * args.batch / wall, 1)
+    logger.publish_state(
+        fleet_metrics={k: v[-1].mean() for k, v in m_np.items()},
+        mpc_time_s=wall / args.steps,
+        n_solves=args.batch,
+    )
+    logger.close()
+    return out
+
+
+def cmd_run_standing(args) -> dict:
+    """Standing-balance fleet (SURVEY.md §7 minimum slice)."""
+    jax, jnp, dtype, cfg, wts = _setup(args)
+    import numpy as np
+
+    from quaternion_mpc_tpu.models import srb
+    from quaternion_mpc_tpu.runtime import step as rt
+
+    carry1, sp1 = rt.init_scenario(
+        wts, srb.go1_params(dtype=dtype).foot_pos, dtype=dtype
+    )
+    joy1 = rt.neutral_joy(dtype)
+    carry = _tile(jnp, carry1, args.batch)
+    sp = _tile(jnp, sp1, args.batch)
+    joy = _tile(jnp, joy1, args.batch)
+
+    # perturb initial attitude/velocity per scenario
+    rng = np.random.default_rng(0)
+    carry = carry._replace(
+        plant=carry.plant._replace(
+            vel=jnp.asarray(0.05 * rng.standard_normal((args.batch, 3)), dtype)
+        )
+    )
+    return _run_loop(
+        args,
+        lambda: rt.make_standing_step(horizon=args.horizon),
+        carry, joy, sp,
+        ("height_err", "att_err", "mpc_cost", "alive"),
+    )
+
+
+def cmd_run_trot(args) -> dict:
+    """Trot-walking fleet tracking a commanded velocity."""
+    jax, jnp, dtype, cfg, wts = _setup(args)
+
+    from quaternion_mpc_tpu.runtime import step as rt
+
+    carry1, sp1 = rt.init_walking_scenario(wts, dtype=dtype)
+    joy1 = rt.neutral_joy(dtype)._replace(velx=jnp.asarray(args.velx, dtype))
+    carry = _tile(jnp, carry1, args.batch)
+    sp = _tile(jnp, sp1, args.batch)
+    joy = _tile(jnp, joy1, args.batch)
+    return _run_loop(
+        args,
+        lambda: rt.make_walking_step(horizon=args.horizon),
+        carry, joy, sp,
+        ("vel_err", "height_err", "mpc_cost", "alive"),
+    )
+
+
+def cmd_run_fleet(args) -> dict:
+    """Sharded scenario fleet over the device mesh with psum'd metrics and
+    optional checkpoint/resume (SURVEY.md §2.3 TPU-native table)."""
+    jax, jnp, dtype, cfg, wts = _setup(args)
+    import numpy as np
+
+    from quaternion_mpc_tpu.models import srb
+    from quaternion_mpc_tpu.parallel import mesh as mesh_mod
+    from quaternion_mpc_tpu.runtime import step as rt
+    from quaternion_mpc_tpu.utils import checkpoint as ckpt
+
+    mesh = mesh_mod.scenario_mesh()
+    n_dev = len(mesh.devices.ravel())
+    if args.batch % n_dev:
+        raise SystemExit(f"--batch must divide the {n_dev}-device mesh")
+
+    carry1, sp1 = rt.init_scenario(
+        wts, srb.go1_params(dtype=dtype).foot_pos, dtype=dtype
+    )
+    joy1 = rt.neutral_joy(dtype)
+    carry = _tile(jnp, carry1, args.batch)
+    sp = _tile(jnp, sp1, args.batch)
+    joy = _tile(jnp, joy1, args.batch)
+
+    rng = np.random.default_rng(1)
+    carry = carry._replace(
+        plant=carry.plant._replace(
+            vel=jnp.asarray(0.05 * rng.standard_normal((args.batch, 3)), dtype)
+        )
+    )
+    start_step = 0
+    if args.resume:
+        carry = ckpt.restore(args.resume, like=carry)
+        start_step = int(ckpt.metadata(args.resume).get("step", 0))
+        print(f"[fleet] resumed from {args.resume} @ step {start_step}", file=sys.stderr)
+
+    step_fn = rt.make_standing_step(horizon=args.horizon)
+    fleet = mesh_mod.fleet_map(lambda c, inp: step_fn(c, inp[0], inp[1]), mesh)
+    carry = mesh_mod.shard_batch(carry, mesh)
+    sp = mesh_mod.shard_batch(sp, mesh)
+    joy = mesh_mod.shard_batch(joy, mesh)
+
+    @jax.jit
+    def run(carry):
+        def body(c, _):
+            return fleet(c, (sp, joy))
+        return jax.lax.scan(body, carry, None, length=args.steps)
+
+    t0 = time.perf_counter()
+    carry, metrics = run(carry)
+    jax.block_until_ready(metrics.mpc_cost)
+    wall = time.perf_counter() - t0
+
+    if args.checkpoint:
+        path = ckpt.save(
+            args.checkpoint, jax.device_get(carry),
+            metadata={"step": start_step + args.steps, "batch": args.batch},
+        )
+        print(f"[fleet] checkpoint -> {path}", file=sys.stderr)
+
+    import numpy as np
+    return {
+        "devices": n_dev,
+        "batch": args.batch,
+        "steps": args.steps,
+        "wall_s": round(wall, 3),
+        "solves_per_sec": round(args.steps * args.batch / wall, 1),
+        "fleet_alive": round(float(np.asarray(metrics.alive)[-1]) / args.batch, 4),
+        "fleet_mean_cost": round(float(np.asarray(metrics.mpc_cost)[-1]) / args.batch, 5),
+        "resumed_at": start_step,
+    }
+
+
+def cmd_bench_solver(args) -> dict:
+    """Raw solver throughput (the bench.py metric, parameterizable)."""
+    jax, jnp, dtype, cfg, wts = _setup(args)
+    import numpy as np
+
+    from quaternion_mpc_tpu.control import quat_mpc
+    from quaternion_mpc_tpu.examples import standing_batch as _example_batch
+    from quaternion_mpc_tpu.solver import SolverOptions
+
+    ctrl = quat_mpc.make_fleet_controller(
+        args.horizon, SolverOptions(al_iterations=2, ilqr_iterations=5)
+    )
+    step = jax.jit(ctrl)
+    fbk, cmd, wts_b = _example_batch(args.batch, args.horizon, dtype)
+    grf, cost = step(fbk, cmd, wts_b)
+    jax.block_until_ready(grf)
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        grf, cost = step(fbk, cmd, wts_b)
+        jax.block_until_ready(grf)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    return {
+        "batch": args.batch,
+        "horizon": args.horizon,
+        "p50_step_ms": round(p50 * 1e3, 2),
+        "solves_per_sec": round(args.batch / p50, 1),
+        "per_solve_ms": round(p50 / args.batch * 1e3, 5),
+        "mean_cost": round(float(np.mean(np.asarray(cost))), 5),
+    }
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="quaternion_mpc_tpu")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("run_standing", help="standing-balance fleet")
+    _common(p)
+    p.set_defaults(fn=cmd_run_standing)
+
+    p = sub.add_parser("run_trot", help="trot-walking fleet")
+    _common(p)
+    p.add_argument("--velx", type=float, default=0.4, help="commanded m/s")
+    p.set_defaults(fn=cmd_run_trot)
+
+    p = sub.add_parser("run_fleet", help="mesh-sharded fleet w/ checkpointing")
+    _common(p)
+    p.add_argument("--checkpoint", default=None, help="save carry here at end")
+    p.add_argument("--resume", default=None, help="restore carry from here")
+    p.set_defaults(fn=cmd_run_fleet)
+
+    p = sub.add_parser("bench_solver", help="raw solver throughput")
+    _common(p)
+    p.add_argument("--iters", type=int, default=10)
+    p.set_defaults(fn=cmd_bench_solver)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    out = args.fn(args)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -99,3 +99,28 @@ def foot_force_from_torques(q, tau, rho_fix):
     """Estimated foot force f = J⁻ᵀ τ (BaseInterface.cpp:253-261)."""
     JT = jnp.swapaxes(jac(q, rho_fix), -1, -2)
     return jnp.linalg.solve(JT, tau[..., None])[..., 0]
+
+
+def dfk_drho(q, rho_fix):
+    """∂fk/∂ρ (..., 3, 5) — calibration Jacobian (A1Kinematics::dfk_drho,
+    used by the estimator for kinematic-parameter refinement)."""
+    flat_q = q.reshape(-1, 3)
+    flat_r = jnp.broadcast_to(rho_fix, q.shape[:-1] + (5,)).reshape(-1, 5)
+    J = jax.vmap(jax.jacfwd(fk, argnums=1))(flat_q, flat_r)
+    return J.reshape(q.shape[:-1] + (3, 5))
+
+
+def dJ_dq(q, rho_fix):
+    """∂J/∂q (..., 3, 3, 3) (A1Kinematics::dJ_dq)."""
+    flat_q = q.reshape(-1, 3)
+    flat_r = jnp.broadcast_to(rho_fix, q.shape[:-1] + (5,)).reshape(-1, 5)
+    H = jax.vmap(jax.jacfwd(jax.jacfwd(fk)))(flat_q, flat_r)
+    return H.reshape(q.shape[:-1] + (3, 3, 3))
+
+
+def dJ_drho(q, rho_fix):
+    """∂J/∂ρ (..., 3, 3, 5) (A1Kinematics::dJ_drho)."""
+    flat_q = q.reshape(-1, 3)
+    flat_r = jnp.broadcast_to(rho_fix, q.shape[:-1] + (5,)).reshape(-1, 5)
+    H = jax.vmap(jax.jacfwd(jax.jacfwd(fk), argnums=1))(flat_q, flat_r)
+    return H.reshape(q.shape[:-1] + (3, 3, 5))

@@ -1,0 +1,106 @@
+"""Terrain estimation from stance footholds.
+
+Role parity with the reference's walking-surface fit (`Utils::get_walk_surf_coef`,
+``legged_ctrl/src/utils/Utils.cpp:128-145``), dihedral angle
+(``Utils.cpp:117-126``) and the (commented-out but shipped) pitch-adaptation
+logic in ``QuatMpc::terrain_update`` (``src/mpc/QuatMpc.cpp:307-335``):
+
+1. least-squares plane z = a0 + a1·x + a2·y through the recent stance
+   foothold positions (absolute/CoM frame), surface normal ~ [a1, a2, -1];
+2. dihedral angle between the fitted plane and flat ground, passed through a
+   moving-average filter and clamped to ±0.349 rad (±20°);
+3. desired body pitch set to ±terrain_angle depending on walking direction.
+
+Everything is batched/jittable; the filter state is an explicit pytree
+(MovingWindowFilter semantics, ``include/utils/MovingWindowFilter.hpp``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from quaternion_mpc_tpu.utils import filters
+
+FLAT_GROUND_COEF = (0.0, 0.0, 1.0)  # z-up plane normal (QuatMpc.cpp:309)
+MAX_TERRAIN_ANGLE = 0.349           # rad, QuatMpc.cpp:320-325
+
+
+def fit_walk_surface(foot_pos_abs: jnp.ndarray, weights=None) -> jnp.ndarray:
+    """Fit z = a0 + a1·x + a2·y through foothold positions.
+
+    foot_pos_abs: (..., n_feet, 3) recent stance foot positions (absolute
+    frame — torso-centered, world-aligned). weights: optional (..., n_feet)
+    per-foot weights (e.g. contact confidence). Returns the surface
+    coefficient vector [a1, a2, -1] (Utils.cpp:142-144 convention).
+
+    Solves the 3x3 normal equations in closed form (WᵀW)⁻¹Wᵀz with a
+    Tikhonov floor so degenerate foothold sets (collinear feet) stay finite
+    — the reference uses an SVD pseudo-inverse for the same reason
+    (Utils.cpp:107-116).
+    """
+    x = foot_pos_abs[..., 0]
+    y = foot_pos_abs[..., 1]
+    z = foot_pos_abs[..., 2]
+    ones = jnp.ones_like(x)
+    W = jnp.stack([ones, x, y], axis=-1)  # (..., n_feet, 3)
+    if weights is not None:
+        W = W * weights[..., None]
+        z = z * weights
+    WtW = jnp.einsum("...fi,...fj->...ij", W, W)
+    WtW = WtW + 1e-6 * jnp.eye(3, dtype=foot_pos_abs.dtype)
+    Wtz = jnp.einsum("...fi,...f->...i", W, z)
+    a = jnp.linalg.solve(WtW, Wtz)
+    return jnp.stack(
+        [a[..., 1], a[..., 2], -jnp.ones_like(a[..., 0])], axis=-1
+    )
+
+
+def dihedral_angle(coef_1, coef_2) -> jnp.ndarray:
+    """Angle between two planes given [a, b, c] coefficient vectors
+    (Utils::cal_dihedral_angle, Utils.cpp:117-126)."""
+    num = jnp.abs(jnp.sum(coef_1 * coef_2, axis=-1))
+    den = jnp.linalg.norm(coef_1, axis=-1) * jnp.linalg.norm(coef_2, axis=-1)
+    return jnp.arccos(jnp.clip(num / jnp.maximum(den, 1e-12), -1.0, 1.0))
+
+
+class TerrainState(NamedTuple):
+    """Filtered terrain estimate (pytree; batchable)."""
+
+    angle_filter: filters.WindowState
+    terrain_angle: jnp.ndarray  # filtered, clamped dihedral angle (rad)
+    surf_coef: jnp.ndarray      # (3,) latest fitted [a1, a2, -1]
+
+
+def init_terrain_state(window: int = 100, dtype=jnp.float32) -> TerrainState:
+    return TerrainState(
+        angle_filter=filters.window_init(window, dtype=dtype),
+        terrain_angle=jnp.zeros((), dtype),
+        surf_coef=jnp.asarray([0.0, 0.0, -1.0], dtype),
+    )
+
+
+def terrain_update(
+    state: TerrainState,
+    foot_pos_abs: jnp.ndarray,
+    root_lin_vel_d_x: jnp.ndarray,
+    contact_weights=None,
+) -> tuple[TerrainState, jnp.ndarray]:
+    """One terrain tick: fit plane → dihedral vs flat ground → filter →
+    clamp → signed desired pitch (QuatMpc.cpp:307-335 semantics: pitch
+    leans INTO the slope; sign flips with commanded x velocity).
+
+    Returns (new_state, pitch_d).
+    """
+    dtype = foot_pos_abs.dtype
+    coef = fit_walk_surface(foot_pos_abs, contact_weights)
+    flat = jnp.asarray(FLAT_GROUND_COEF, dtype)
+    raw = dihedral_angle(flat, coef)
+    # slope direction: surface gradient along +x (a1 > 0 = uphill ahead)
+    signed = jnp.where(coef[..., 0] > 0.0, raw, -raw)
+    filt, angle = filters.window_update(state.angle_filter, signed)
+    angle = jnp.clip(angle, -MAX_TERRAIN_ANGLE, MAX_TERRAIN_ANGLE)
+    # walking forward -> pitch down by terrain angle (QuatMpc.cpp:328-333)
+    pitch_d = jnp.where(root_lin_vel_d_x >= 0.0, -angle, angle)
+    return TerrainState(filt, angle, coef), pitch_d

@@ -290,7 +290,10 @@ def quat_srb_jacobian_fleet(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp
     def bcast(a, *shape):
         return jnp.broadcast_to(a, shape + (B,))
 
-    eye3 = jnp.eye(3, dtype=dtype)[..., None]  # (3, 3, 1)
+    # iota-built identity: Pallas kernels may not close over array constants
+    r3 = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 0)
+    c3 = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
+    eye3 = (r3 == c3).astype(dtype)[..., None]  # (3, 3, 1)
 
     # rows 0-2 (ṗ = v): I₃ at cols 7-9
     top = jnp.concatenate(

@@ -1,0 +1,112 @@
+"""Analytic terrain worlds for the batched plant.
+
+Role parity with the reference's Gazebo worlds (``unitree_gazebo/worlds/``:
+`earth` flat ground, `space` zero gravity, `slope`, `stairs` + the stairs
+model) — here each world is a pure height/normal field so foothold targets,
+contact detection, and the terrain estimator run on-device with no mesh.
+
+A world is *data*: `TerrainParams(kind, ...)` selects the field with
+`lax.switch`, so a fleet can mix worlds across scenarios (kind is traced).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+FLAT = 0
+SLOPE = 1
+STAIRS = 2
+
+KINDS = {"flat": FLAT, "earth": FLAT, "slope": SLOPE, "stairs": STAIRS}
+
+
+class TerrainParams(NamedTuple):
+    """kind: 0 flat | 1 slope | 2 stairs (int32, batchable).
+
+    slope_grade: rise/run along +x for `slope` (worlds/slope.world ramp).
+    stair_rise / stair_run: step height/depth for `stairs`
+    (unitree_gazebo stairs model: 0.17 m rise / 0.30 m run analog).
+    gravity: world gravity magnitude — 0.0 reproduces `space.world`.
+    """
+
+    kind: jnp.ndarray
+    slope_grade: jnp.ndarray
+    stair_rise: jnp.ndarray
+    stair_run: jnp.ndarray
+    gravity: jnp.ndarray
+
+
+def make_terrain(
+    kind: str = "flat",
+    slope_grade: float = 0.2,
+    stair_rise: float = 0.17,
+    stair_run: float = 0.30,
+    gravity: float = 9.81,
+    dtype=jnp.float32,
+) -> TerrainParams:
+    if kind == "space":
+        gravity = 0.0
+        kind = "flat"
+    return TerrainParams(
+        kind=jnp.asarray(KINDS[kind], jnp.int32),
+        slope_grade=jnp.asarray(slope_grade, dtype),
+        stair_rise=jnp.asarray(stair_rise, dtype),
+        stair_run=jnp.asarray(stair_run, dtype),
+        gravity=jnp.asarray(gravity, dtype),
+    )
+
+
+def height(tp: TerrainParams, xy: jnp.ndarray) -> jnp.ndarray:
+    """Ground height z(x, y). xy: (..., 2) -> (...)."""
+    x = xy[..., 0]
+    flat_z = jnp.zeros_like(x)
+    slope_z = tp.slope_grade * jnp.maximum(x, 0.0)
+    # stairs start at x = 0, climbing in +x
+    n_step = jnp.floor(jnp.maximum(x, 0.0) / tp.stair_run)
+    stairs_z = tp.stair_rise * n_step * (x > 0.0)
+    zs = jnp.stack([flat_z, slope_z, stairs_z], axis=0)
+    return jnp.take_along_axis(
+        zs, jnp.broadcast_to(tp.kind, x.shape)[None], axis=0
+    )[0]
+
+
+def normal(tp: TerrainParams, xy: jnp.ndarray) -> jnp.ndarray:
+    """Unit surface normal at (x, y): (..., 3). Stairs treads are flat."""
+    x = xy[..., 0]
+    up = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0], dtype=xy.dtype), xy.shape[:-1] + (3,)
+    )
+    g = tp.slope_grade
+    slope_n = jnp.stack(
+        [
+            jnp.where(x > 0.0, -g, 0.0) / jnp.sqrt(1.0 + g * g),
+            jnp.zeros_like(x),
+            jnp.where(x > 0.0, 1.0 / jnp.sqrt(1.0 + g * g), 1.0),
+        ],
+        axis=-1,
+    )
+    is_slope = (tp.kind == SLOPE)
+    return jnp.where(jnp.broadcast_to(is_slope, x.shape)[..., None], slope_n, up)
+
+
+def penetration(tp: TerrainParams, pos_world: jnp.ndarray) -> jnp.ndarray:
+    """Signed depth of a point below the terrain surface (positive inside)."""
+    return height(tp, pos_world[..., :2]) - pos_world[..., 2]
+
+
+def contact_probability(tp: TerrainParams, pos_world, force_normal, threshold=10.0):
+    """Sigmoid contact confidence 1/(1+e^{-10(F-thr)}) gated by proximity
+    (BaseInterface.cpp:234-249 sigmoid + the plant's height query)."""
+    sig = 1.0 / (1.0 + jnp.exp(-10.0 * (force_normal - threshold)))
+    near = penetration(tp, pos_world) > -0.01
+    return sig * near.astype(sig.dtype)
+
+
+def snap_to_ground(tp: TerrainParams, pos_world: jnp.ndarray) -> jnp.ndarray:
+    """Project a foothold target onto the terrain surface (replaces the
+    flat-ground `target[..., 2] = 0` in the walking loop)."""
+    z = height(tp, pos_world[..., :2])
+    return jnp.concatenate([pos_world[..., :2], z[..., None]], axis=-1)
