@@ -154,3 +154,13 @@ def make_controller(
         return out, sol
 
     return grf_update
+
+
+# LeggedMpc::terrain_update parity — the reference ConvexMpc's hook is a
+# no-op (ConvexMpc.cpp:225-227); the functional estimator is shared with the
+# quaternion controller (kin.terrain).
+from quaternion_mpc_tpu.kin.terrain import (  # noqa: E402,F401
+    TerrainState,
+    init_terrain_state,
+    terrain_update,
+)

@@ -292,3 +292,14 @@ def make_controller(
         return out, sol
 
     return grf_update
+
+
+# LeggedMpc::terrain_update parity (abstract hook at LeggedMpc.h:21-49;
+# QuatMpc's implementation at QuatMpc.cpp:307-335): fit the walking surface
+# from stance footholds, adapt the desired pitch. Pure-function form lives in
+# kin.terrain; re-exported here as the controller-API surface.
+from quaternion_mpc_tpu.kin.terrain import (  # noqa: E402,F401
+    TerrainState,
+    init_terrain_state,
+    terrain_update,
+)

@@ -137,6 +137,28 @@ def hardware_go1_quat_mpc() -> FrameworkConfig:
     )
 
 
+def hardware_go1_convex_mpc() -> FrameworkConfig:
+    """config/hardware_go1_convex_mpc.yaml (diffs vs gazebo convex preset)"""
+    return FrameworkConfig(
+        robot=RobotConfig(mass=12.0),
+        mpc=MpcConfig(
+            controller="convex",
+            horizon=30,
+            update_period_ms=8.0,
+            q_weights=(15.0, 70.0, 10.0, 5.0, 5.0, 150.0,
+                       0.02, 0.02, 10.0, 2.5, 7.0, 20.0),
+            r_weights=(1e-4,) * 12,
+            w=0.0,
+            mu=0.7,
+            fz_max=500.0,
+            iterations_max=5,
+        ),
+        gait=GaitConfig(gait_freq=1.7),
+        swing=SwingConfig(kp=(25.0, 25.0, 25.0), kd=(2.0, 2.0, 2.0)),
+        estimator=EstimatorConfig(kf_type=1),
+    )
+
+
 def q_weights_array(cfg: MpcConfig):
     return np.asarray(cfg.q_weights)
 
@@ -146,4 +168,73 @@ def presets():
         "gazebo_go1_quat_mpc": gazebo_go1_quat_mpc,
         "gazebo_go1_convex_mpc": gazebo_go1_convex_mpc,
         "hardware_go1_quat_mpc": hardware_go1_quat_mpc,
+        "hardware_go1_convex_mpc": hardware_go1_convex_mpc,
+    }
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotDescription:
+    """Physical description of one robot family — the `robots/*_description`
+    URDF layer as data (trunk inertials + leg geometry for FK/IK/dynamics).
+
+    leg_offset: hip origin (x, y) from trunk center; thigh_offset: signed
+    hip-link length; thigh/calf_length: link lengths (xacro const files).
+    """
+
+    name: str
+    trunk_mass: float
+    trunk_inertia: Tuple[float, float, float]
+    leg_offset_x: float
+    leg_offset_y: float
+    thigh_offset: float
+    thigh_length: float
+    calf_length: float
+
+    def rho_fix(self) -> np.ndarray:
+        """Per-leg [offset_x, offset_y, hip_len, l_thigh, l_calf] in FL, FR,
+        RL, RR order (kin.leg convention; BaseInterface.cpp:12-34)."""
+        rows = []
+        for sx in (1.0, -1.0):
+            for sy in (1.0, -1.0):
+                rows.append([
+                    sx * self.leg_offset_x,
+                    sy * self.leg_offset_y,
+                    sy * self.thigh_offset,
+                    self.thigh_length,
+                    self.calf_length,
+                ])
+        # generated order: FL, FR, RL, RR (x {+,+,-,-}, y {+,-,+,-})
+        return np.asarray(rows)
+
+
+def robot_descriptions():
+    """All robot families the reference ships URDFs for
+    (`robots/{go1,a1,aliengo,aliengoZ1,b1,laikago}_description`), values from
+    each family's `xacro/const.xacro`."""
+    return {
+        "go1": RobotDescription(
+            "go1", 5.204, (0.0168128557, 0.063009565, 0.0716547275),
+            0.1881, 0.04675, 0.08, 0.213, 0.213,
+        ),
+        "a1": RobotDescription(
+            "a1", 6.0, (0.0158533, 0.0377999, 0.0456542),
+            0.1805, 0.047, 0.0838, 0.2, 0.2,
+        ),
+        "aliengo": RobotDescription(
+            "aliengo", 11.644, (0.051944892, 0.24693924, 0.270948307),
+            0.2407, 0.051, 0.0868, 0.25, 0.25,
+        ),
+        "aliengoZ1": RobotDescription(
+            # aliengo base carrying the Z1 arm; trunk inertials identical
+            "aliengoZ1", 11.644, (0.051944892, 0.24693924, 0.270948307),
+            0.2407, 0.051, 0.0868, 0.25, 0.25,
+        ),
+        "b1": RobotDescription(
+            "b1", 25.0, (0.183142146, 0.756327752, 0.783777558),
+            0.3455, 0.072, 0.12675, 0.35, 0.35,
+        ),
+        "laikago": RobotDescription(
+            "laikago", 13.733, (0.073348887, 0.250684593, 0.254469458),
+            0.21935, 0.0875, 0.037, 0.25, 0.25,
+        ),
     }
