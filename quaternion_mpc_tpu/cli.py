@@ -77,15 +77,17 @@ def _tile(jnp, tree, batch):
 
 
 def _run_loop(args, make_step, init_carry, joy, sp, metric_names):
-    """Shared closed-loop driver: scan the fleet step, report metrics."""
+    """Shared closed-loop driver: scan the fleet step, report metrics.
+
+    make_step() must return a FLEET step over batch-leading pytrees (the
+    batch-last solver layout underneath — runtime.step.make_fleet_*)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from quaternion_mpc_tpu.utils import telemetry
 
-    step_fn = make_step()
-    vstep = jax.vmap(step_fn)
+    vstep = make_step()
 
     def body(carry, _):
         return vstep(carry, sp, joy)
@@ -97,10 +99,20 @@ def _run_loop(args, make_step, init_carry, joy, sp, metric_names):
     t0 = time.perf_counter()
     carry, metrics = run(init_carry)
     jax.block_until_ready(carry)
+    compile_and_run = time.perf_counter() - t0
+    # steady-state timing (first call pays XLA compilation)
+    t0 = time.perf_counter()
+    carry, metrics = run(init_carry)
+    jax.block_until_ready(carry)
     wall = time.perf_counter() - t0
 
     logger = telemetry.TelemetryLogger(args.log)
-    out = {"steps": args.steps, "batch": args.batch, "wall_s": round(wall, 3)}
+    out = {
+        "steps": args.steps,
+        "batch": args.batch,
+        "wall_s": round(wall, 3),
+        "compile_s": round(compile_and_run - wall, 3),
+    }
     m_np = {k: np.asarray(getattr(metrics, k)) for k in metric_names}
     for k, v in m_np.items():
         out[f"{k}_final"] = round(float(v[-1].mean()), 5)
@@ -140,7 +152,7 @@ def cmd_run_standing(args) -> dict:
     )
     return _run_loop(
         args,
-        lambda: rt.make_standing_step(horizon=args.horizon),
+        lambda: rt.make_fleet_standing_step(horizon=args.horizon),
         carry, joy, sp,
         ("height_err", "att_err", "mpc_cost", "alive"),
     )
@@ -159,7 +171,7 @@ def cmd_run_trot(args) -> dict:
     joy = _tile(jnp, joy1, args.batch)
     return _run_loop(
         args,
-        lambda: rt.make_walking_step(horizon=args.horizon),
+        lambda: rt.make_fleet_walking_step(horizon=args.horizon),
         carry, joy, sp,
         ("vel_err", "height_err", "mpc_cost", "alive"),
     )
@@ -213,10 +225,16 @@ def cmd_run_fleet(args) -> dict:
             return fleet(c, (sp, joy))
         return jax.lax.scan(body, carry, None, length=args.steps)
 
+    carry0 = carry
     t0 = time.perf_counter()
-    carry, metrics = run(carry)
+    carry, metrics = run(carry0)
+    jax.block_until_ready(metrics.mpc_cost)
+    compile_and_run = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    carry, metrics = run(carry0)
     jax.block_until_ready(metrics.mpc_cost)
     wall = time.perf_counter() - t0
+    del compile_and_run  # reported implicitly via first-call cost
 
     if args.checkpoint:
         path = ckpt.save(

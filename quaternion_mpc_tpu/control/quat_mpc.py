@@ -241,11 +241,13 @@ def make_fleet_controller(
     horizon: int,
     opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=5),
     zero_initial_omega: bool = True,
+    return_body: bool = False,
 ):
     """Batch-last grf_update over a whole fleet at once.
 
     Takes batch-FIRST (fbk, cmd, wts) pytrees (natural user layout), returns
-    (grf_world (B, n_feet, 3), cost (B,)).
+    (grf_world (B, n_feet, 3), cost (B,)); with return_body=True returns
+    (grf_world, grf_body, cost).
     """
     from quaternion_mpc_tpu.ops import lie as lie_mod
     from quaternion_mpc_tpu.solver.fleet import make_fleet_solver
@@ -259,6 +261,8 @@ def make_fleet_controller(
         grf_body = u0.reshape(u0.shape[0], -1, 3)
         rot = lie_mod.quat_to_rotmat(fbk.torso_quat)  # (B, 3, 3)
         grf_world = jnp.einsum("bij,bfj->bfi", rot, grf_body)
+        if return_body:
+            return grf_world, grf_body, sol.cost
         return grf_world, sol.cost
 
     return grf_update

@@ -55,3 +55,56 @@ def tau_ctrl_update(
 def pd_torque(targets: JointTargets, q, dq, kp, kd):
     """Explicit PD + feedforward, the Gazebo send path (GazeboInterface.cpp:116-124)."""
     return kp * (targets.q - q) + kd * (targets.dq - dq) + targets.tau
+
+
+def tau_ctrl_update_with_id(
+    fbk: RobotFeedback,
+    out: ControlOutput,
+    rho_fix: jnp.ndarray,
+    contacts: jnp.ndarray,
+    leg_params=None,
+    foot_acc_target_world=None,
+) -> JointTargets:
+    """`tau_ctrl_update` + inverse-dynamics swing feedforward.
+
+    The reference wires per-leg task-space inverse dynamics into the swing
+    branch but ships it commented out (``BaseInterface.cpp:371-391``,
+    Go1Dynamics). Here it is a working option: desired foot acceleration ->
+    τ_ff = task_space_inverse_dynamics per swing leg (kin.leg_dynamics),
+    added to the PD targets.
+    """
+    import jax
+
+    from quaternion_mpc_tpu.kin import leg_dynamics as ld
+
+    base = tau_ctrl_update(fbk, out, rho_fix, contacts)
+    if leg_params is None or foot_acc_target_world is None:
+        return base
+    n_legs = fbk.foot_pos_body.shape[-2]
+    rot = lie.quat_to_rotmat(fbk.torso_quat)
+    q = fbk.joint_pos.reshape(n_legs, 3)
+    dq = fbk.joint_vel.reshape(n_legs, 3)
+    acc_body = foot_acc_target_world @ rot  # rows Rᵀ a_w
+    g_body = rot.T @ jnp.array([0.0, 0.0, -ld.GRAVITY], dtype=q.dtype)
+
+    def one(qi_, dqi, ai, rho_i, params_i):
+        return ld.task_space_inverse_dynamics(qi_, dqi, ai, rho_i, params_i, g_body)
+
+    tau_ff = jax.vmap(one)(q, dq, acc_body, rho_fix, leg_params)
+    in_contact = contacts[..., None] > 0.5
+    return base._replace(tau=jnp.where(in_contact, base.tau, tau_ff))
+
+
+def go1_leg_params_all(dtype=jnp.float32):
+    """Per-leg LegLinkParams stacked FL, FR, RL, RR (right legs mirrored)."""
+    import jax
+
+    from quaternion_mpc_tpu.kin import leg_dynamics as ld
+
+    legs = [
+        ld.go1_leg_params(mirror_y=False, dtype=dtype),  # FL
+        ld.go1_leg_params(mirror_y=True, dtype=dtype),   # FR
+        ld.go1_leg_params(mirror_y=False, dtype=dtype),  # RL
+        ld.go1_leg_params(mirror_y=True, dtype=dtype),   # RR
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *legs)

@@ -44,6 +44,25 @@ def init_state(height: float = 0.3, dtype=jnp.float32) -> PlantState:
     )
 
 
+def _inv3(A):
+    """Closed-form 3x3 inverse (adjugate/det): under vmap this stays pure
+    elementwise VPU work, while `jnp.linalg.solve` lowers to a batched
+    pivoting LU that dominates the fleet closed-loop step."""
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 0], A[1, 1], A[1, 2]
+    g, h, i = A[2, 0], A[2, 1], A[2, 2]
+    A11, A12, A13 = e * i - f * h, c * h - b * i, b * f - c * e
+    A21, A22, A23 = f * g - d * i, a * i - c * g, c * d - a * f
+    A31, A32, A33 = d * h - e * g, b * g - a * h, a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13]),
+        jnp.stack([A21, A22, A23]),
+        jnp.stack([A31, A32, A33]),
+    ])
+    return adj / det
+
+
 def dynamics(s: PlantState, f_body: jnp.ndarray, p: PlantParams):
     """Continuous derivatives given per-foot body-frame forces (n_feet, 3)."""
     rot = lie.quat_to_rotmat(s.quat)
@@ -59,7 +78,7 @@ def dynamics(s: PlantState, f_body: jnp.ndarray, p: PlantParams):
         pos=s.vel,
         quat=0.5 * (lie.quat_G(s.quat) @ s.omega),
         vel=total_f_world / p.mass + g_world,
-        omega=jnp.linalg.solve(p.inertia, moment),
+        omega=_inv3(p.inertia) @ moment,
     )
 
 

@@ -85,3 +85,76 @@ def test_sin_attitude_tracking():
     assert bool(carry.alive)
     # geodesic error stays small while reference oscillates
     assert max(att_errs[20:]) < 5e-3
+
+
+def test_estimated_standing_balance_converges():
+    """kf_type=1 path: controller closes over BasicKF estimates; the KF
+    height converges to truth and the robot holds the target height."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quaternion_mpc_tpu.control import quat_mpc
+    from quaternion_mpc_tpu.runtime import step as rt
+    from quaternion_mpc_tpu.utils import config as cfg_mod
+
+    dtype = jnp.float64
+    wts = quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=dtype)
+    foot = jnp.asarray(
+        [[0.2104, 0.13, -0.325], [0.2104, -0.13, -0.325],
+         [-0.1658, 0.13, -0.325], [-0.1658, -0.13, -0.325]], dtype)
+    carry, sp = rt.init_estimated_scenario(wts, foot, height=0.3, dtype=dtype)
+    step_fn = rt.make_estimated_standing_step(horizon=6)
+    joy = rt.neutral_joy(dtype)
+
+    @jax.jit
+    def run(c):
+        return jax.lax.scan(lambda cc, _: step_fn(cc, sp, joy), c, None, length=120)
+
+    carry2, ms = run(carry)
+    # KF started at z=0.09 (reference init) while truth is 0.3: must converge
+    kf_z = float(carry2.kf.x[2])
+    true_z = float(carry2.plant.pos[2])
+    assert abs(kf_z - true_z) < 0.02, (kf_z, true_z)
+    assert abs(true_z - 0.3) < 0.05
+    assert bool(np.all(np.asarray(ms.alive)[-10:] > 0.5))
+
+
+def test_fleet_standing_step_matches_vmapped():
+    """Fleet-native standing step == vmapped per-scenario step (same
+    trajectory up to solver fp ordering)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quaternion_mpc_tpu.control import quat_mpc
+    from quaternion_mpc_tpu.runtime import step as rt
+    from quaternion_mpc_tpu.utils import config as cfg_mod
+
+    dtype = jnp.float64
+    B = 3
+    wts = quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=dtype)
+    foot = jnp.asarray(
+        [[0.2104, 0.13, -0.325], [0.2104, -0.13, -0.325],
+         [-0.1658, 0.13, -0.325], [-0.1658, -0.13, -0.325]], dtype)
+    c1, sp1 = rt.init_scenario(wts, foot, dtype=dtype)
+    joy1 = rt.neutral_joy(dtype)
+    tile = lambda t: jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), t)
+    carry, sp, joy = tile(c1), tile(sp1), tile(joy1)
+    carry = carry._replace(
+        plant=carry.plant._replace(
+            vel=jnp.asarray([[0.05, 0, 0], [0, -0.05, 0], [0, 0, 0.02]], dtype)
+        )
+    )
+
+    ref_step = rt.make_standing_step(horizon=6)
+    fleet_step = rt.make_fleet_standing_step(horizon=6)
+
+    c_ref, m_ref = jax.jit(jax.vmap(ref_step))(carry, sp, joy)
+    c_fl, m_fl = jax.jit(fleet_step)(carry, sp, joy)
+    np.testing.assert_allclose(
+        np.asarray(c_fl.plant.pos), np.asarray(c_ref.plant.pos), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_fl.mpc_cost), np.asarray(m_ref.mpc_cost), atol=1e-7
+    )

@@ -124,3 +124,44 @@ def test_calibration_jacobians_match_fd():
     dJ = np.asarray(leg_mod.dJ_dq(q, rho))
     assert dJ.shape == (3, 3, 3)
     assert np.all(np.isfinite(dJ))
+
+
+def test_tau_ctrl_with_id_feedforward():
+    """Swing legs get inverse-dynamics feedforward; stance unchanged."""
+    import jax.numpy as jnp
+
+    from quaternion_mpc_tpu.control import torque
+    from quaternion_mpc_tpu.control.types import ControlOutput, RobotFeedback
+
+    rho = leg_mod.go1_rho_fix(jnp.float32)
+    q = jnp.tile(jnp.asarray([0.0, 0.8, -1.6], jnp.float32), (4, 1))
+    foot = leg_mod.fk(q, rho)
+    fbk = RobotFeedback(
+        torso_pos_world=jnp.asarray([0.0, 0.0, 0.3], jnp.float32),
+        torso_quat=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+        torso_lin_vel_world=jnp.zeros(3, jnp.float32),
+        torso_ang_vel_body=jnp.zeros(3, jnp.float32),
+        foot_pos_body=foot,
+        foot_contact=jnp.asarray([1.0, 0.0, 1.0, 0.0]),
+        joint_pos=q.reshape(-1),
+        joint_vel=jnp.zeros(12, jnp.float32),
+    )
+    out = ControlOutput(
+        grf_body=jnp.tile(jnp.asarray([0.0, 0.0, 30.0], jnp.float32), (4, 1)),
+        grf_world=jnp.tile(jnp.asarray([0.0, 0.0, 30.0], jnp.float32), (4, 1)),
+        foot_pos_target_world=foot + jnp.asarray([0.0, 0.0, 0.3], jnp.float32),
+        foot_vel_target_world=jnp.zeros((4, 3), jnp.float32),
+        mpc_cost=jnp.zeros(()),
+        mpc_iterations=jnp.zeros((), jnp.int32),
+    )
+    contacts = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    params = torque.go1_leg_params_all()
+    acc = jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (4, 1))
+    base = torque.tau_ctrl_update(fbk, out, rho, contacts)
+    with_id = torque.tau_ctrl_update_with_id(fbk, out, rho, contacts, params, acc)
+    # stance legs identical, swing legs now carry feedforward torque
+    np.testing.assert_allclose(
+        np.asarray(with_id.tau[0]), np.asarray(base.tau[0]), atol=1e-6
+    )
+    assert float(np.abs(np.asarray(with_id.tau[1])).sum()) > 0.01
+    assert float(np.abs(np.asarray(base.tau[1])).sum()) < 1e-6
