@@ -46,6 +46,11 @@ def _setup(args):
     import jax.numpy as jnp
 
     if args.f64:
+        if jax.default_backend() not in ("cpu",):
+            raise SystemExit(
+                "--f64 requires the CPU backend (TPUs have no f64 ALU); "
+                "run with JAX_PLATFORMS=cpu"
+            )
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if args.f64 else jnp.float32
 
@@ -289,6 +294,23 @@ def cmd_bench_solver(args) -> dict:
     }
 
 
+def cmd_run_scenario(args) -> dict:
+    """Solve a named branch scenario (falling_cat / humanoid / spider_dog)."""
+    _setup(args)  # platform override + sync dispatch
+    from quaternion_mpc_tpu import scenarios
+
+    if args.name not in scenarios.SCENARIOS:
+        raise SystemExit(
+            f"unknown --name '{args.name}'; choose from: "
+            + ", ".join(sorted(scenarios.SCENARIOS))
+        )
+    t0 = time.perf_counter()
+    _sol, summary = scenarios.solve_scenario(args.name)
+    summary["name"] = args.name
+    summary["wall_s"] = round(time.perf_counter() - t0, 3)
+    return summary
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="quaternion_mpc_tpu")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -312,6 +334,11 @@ def build_parser() -> argparse.ArgumentParser:
     _common(p)
     p.add_argument("--iters", type=int, default=10)
     p.set_defaults(fn=cmd_bench_solver)
+
+    p = sub.add_parser("run_scenario", help="branch configs: falling_cat / humanoid / spider_dog")
+    _common(p)
+    p.add_argument("--name", required=True)
+    p.set_defaults(fn=cmd_run_scenario)
     return ap
 
 

@@ -98,3 +98,25 @@ def test_cli_run_standing_smoke(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["alive_frac"] == 1.0
+
+
+def test_cli_run_scenario_falling_cat(capsys):
+    from quaternion_mpc_tpu import cli
+
+    rc = cli.main(["run_scenario", "--name", "falling_cat", "--f64"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["attitude_error"] < 1e-3
+    assert out["max_input"] <= 8.0 + 1e-4
+
+
+def test_profiling_timed_and_floor():
+    import jax.numpy as jnp
+
+    from quaternion_mpc_tpu.utils import profiling
+
+    floor = profiling.measure_dispatch_floor(iters=3)
+    assert floor >= 0.0
+    f = jax.jit(lambda x: jnp.sum(x * 2))
+    stats = profiling.timed(f, jnp.ones(64), iters=3)
+    assert stats["raw_p50_s"] >= stats["p50_s"] >= 0.0
