@@ -218,8 +218,11 @@ def cmd_run_fleet(args) -> dict:
         start_step = int(ckpt.metadata(args.resume).get("step", 0))
         print(f"[fleet] resumed from {args.resume} @ step {start_step}", file=sys.stderr)
 
-    step_fn = rt.make_standing_step(horizon=args.horizon)
-    fleet = mesh_mod.fleet_map(lambda c, inp: step_fn(c, inp[0], inp[1]), mesh)
+    # the batch-LAST fleet solver sharded over the scenario mesh: each device
+    # solves its local shard in the fast lane-dense layout, metrics psum over
+    # ICI (fleet_shard; the vmapped fleet_map path is the slow fallback)
+    step_fn = rt.make_fleet_standing_step(horizon=args.horizon)
+    fleet = mesh_mod.fleet_shard(step_fn, mesh)
     carry = mesh_mod.shard_batch(carry, mesh)
     sp = mesh_mod.shard_batch(sp, mesh)
     joy = mesh_mod.shard_batch(joy, mesh)
@@ -227,7 +230,7 @@ def cmd_run_fleet(args) -> dict:
     @jax.jit
     def run(carry):
         def body(c, _):
-            return fleet(c, (sp, joy))
+            return fleet(c, sp, joy)
         return jax.lax.scan(body, carry, None, length=args.steps)
 
     carry0 = carry

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from quaternion_mpc_tpu.utils import filters
@@ -84,23 +85,40 @@ def init_terrain_state(window: int = 100, dtype=jnp.float32) -> TerrainState:
 def terrain_update(
     state: TerrainState,
     foot_pos_abs: jnp.ndarray,
-    root_lin_vel_d_x: jnp.ndarray,
+    movement_mode=1,
+    torso_height=None,
     contact_weights=None,
 ) -> tuple[TerrainState, jnp.ndarray]:
-    """One terrain tick: fit plane → dihedral vs flat ground → filter →
-    clamp → signed desired pitch (QuatMpc.cpp:307-335 semantics: pitch
-    leans INTO the slope; sign flips with commanded x velocity).
+    """One terrain tick, matching QuatMpc::terrain_update (QuatMpc.cpp:307-335):
+    fit plane → UNSIGNED dihedral vs flat ground → moving-average filter →
+    clamp ±0.349 rad → desired pitch signed by the front-minus-rear stance
+    foot height difference (F_R_diff > 0.05 m ⇒ front feet higher ⇒ pitch up,
+    i.e. −terrain_angle).
 
-    Returns (new_state, pitch_d).
+    Gating mirrors the reference: the filter advances and pitch adaptation
+    applies only in walking mode (``movement_mode > 0``) with the torso above
+    0.1 m; otherwise the state is held and pitch_d = 0 (reference: leaves
+    ``torso_euler_d[1]`` untouched).
+
+    foot_pos_abs rows are FL, FR, RL, RR (absolute/CoM frame). Returns
+    (new_state, pitch_d).
     """
     dtype = foot_pos_abs.dtype
     coef = fit_walk_surface(foot_pos_abs, contact_weights)
     flat = jnp.asarray(FLAT_GROUND_COEF, dtype)
-    raw = dihedral_angle(flat, coef)
-    # slope direction: surface gradient along +x (a1 > 0 = uphill ahead)
-    signed = jnp.where(coef[..., 0] > 0.0, raw, -raw)
-    filt, angle = filters.window_update(state.angle_filter, signed)
+    raw = dihedral_angle(flat, coef)  # unsigned, reference filters this
+    active = jnp.asarray(movement_mode) > 0
+    if torso_height is not None:
+        active = active & (jnp.asarray(torso_height) > 0.1)
+    filt_new, angle_new = filters.window_update(state.angle_filter, raw)
+    filt = jax.tree.map(
+        lambda new, old: jnp.where(active, new, old), filt_new, state.angle_filter
+    )
+    angle = jnp.where(active, angle_new, state.terrain_angle)
     angle = jnp.clip(angle, -MAX_TERRAIN_ANGLE, MAX_TERRAIN_ANGLE)
-    # walking forward -> pitch down by terrain angle (QuatMpc.cpp:328-333)
-    pitch_d = jnp.where(root_lin_vel_d_x >= 0.0, -angle, angle)
+    # F_R_diff = z_FL + z_FR − z_RL − z_RR (QuatMpc.cpp:328)
+    z = foot_pos_abs[..., 2]
+    f_r_diff = z[..., 0] + z[..., 1] - z[..., 2] - z[..., 3]
+    pitch_d = jnp.where(f_r_diff > 0.05, -angle, angle)
+    pitch_d = jnp.where(active, pitch_d, jnp.zeros_like(pitch_d))
     return TerrainState(filt, angle, coef), pitch_d

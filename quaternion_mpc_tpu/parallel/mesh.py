@@ -70,6 +70,41 @@ def fleet_map(step_fn: Callable, mesh: Mesh, *, has_metrics: bool = True):
     return fleet_fn
 
 
+def fleet_shard(fleet_step: Callable, mesh: Mesh, *, reduce_metrics: bool = True):
+    """Shard a FLEET-native (batch-leading) step over the scenario mesh axis.
+
+    This is the fast multi-chip path: `fleet_step` is one of
+    ``runtime.step.make_fleet_*`` — batch-leading (carry, sp, joy) pytrees
+    with the batch-LAST fleet solver underneath (solver/fleet.py, the ~8-28×
+    faster TPU layout). Each device runs the whole fleet step on its local
+    scenario shard (transposing to batch-last inside the shard), so the lane
+    axis stays dense per chip; per-scenario metrics are psum-reduced to
+    fleet totals over ICI (replicated on every device) unless
+    ``reduce_metrics=False`` (then metrics stay per-scenario, sharded).
+
+    Contrast `fleet_map`, which lifts a PER-SCENARIO step via vmap — correct
+    but leaves dim-13 state vectors in the lane axis (≈10× padding).
+    """
+    metrics_spec = P() if reduce_metrics else P(SCENARIO_AXIS)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS), P(SCENARIO_AXIS)),
+        out_specs=(P(SCENARIO_AXIS), metrics_spec),
+        check_vma=False,
+    )
+    def sharded(carry, sp, joy):
+        carry, metrics = fleet_step(carry, sp, joy)
+        if reduce_metrics:
+            metrics = jax.tree.map(
+                lambda m: jax.lax.psum(jnp.sum(m, axis=0), SCENARIO_AXIS), metrics
+            )
+        return carry, metrics
+
+    return sharded
+
+
 def fleet_mean(values, axis_name: str = SCENARIO_AXIS):
     """On-device fleet mean (use inside shard_map)."""
     total = jax.lax.psum(jnp.sum(values, axis=0), axis_name)

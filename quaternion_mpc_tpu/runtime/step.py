@@ -434,14 +434,17 @@ def make_fleet_standing_step(
     horizon: int = 10,
     opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=5),
     plant_substeps: int = 2,
+    zero_initial_omega: bool = False,
 ):
     """Fleet-native standing step: batch-LEADING (carry, sp, joy) pytrees,
     but the MPC solve runs through the batch-last fleet solver (the ~8x
     faster TPU layout) instead of vmapping the per-scenario solver. The
     goal/plant/safety stages stay vmapped per-scenario functions, so the
     behavior matches `vmap(make_standing_step(...))` exactly up to solver
-    fp ordering."""
-    fleet_grf = quat_mpc.make_fleet_controller(horizon, opts, return_body=True)
+    fp ordering (same corrected zero_initial_omega=False default)."""
+    fleet_grf = quat_mpc.make_fleet_controller(
+        horizon, opts, zero_initial_omega=zero_initial_omega, return_body=True
+    )
 
     def pre(carry: ScenarioCarry, sp: ScenarioParams, joy: goals.JoyCommand):
         fbk = feedback_from_plant(carry.plant, sp.plant_params.foot_pos_body)
@@ -452,7 +455,7 @@ def make_fleet_standing_step(
         )
         return fbk, cmd, goal
 
-    def post(carry: ScenarioCarry, sp: ScenarioParams, goal, grf_body, cost):
+    def post(carry: ScenarioCarry, sp: ScenarioParams, goal, quat_d, grf_body, cost):
         dt_sub = sp.wts.h / plant_substeps
         new_plant = carry.plant
         for _ in range(plant_substeps):
@@ -466,7 +469,7 @@ def make_fleet_standing_step(
         metrics = StepMetrics(
             mpc_cost=cost,
             height_err=jnp.abs(kept_plant.pos[2] - sp.target_height),
-            att_err=1.0 - jnp.abs(kept_plant.quat[0]),
+            att_err=1.0 - jnp.abs(jnp.sum(kept_plant.quat * quat_d)),
             alive=alive.astype(kept_plant.pos.dtype),
         )
         return ScenarioCarry(plant=kept_plant, goal=goal, alive=alive), metrics
@@ -474,7 +477,7 @@ def make_fleet_standing_step(
     def fleet_step(carry, sp, joy):
         fbk, cmd, goal = jax.vmap(pre)(carry, sp, joy)
         _, grf_body, cost = fleet_grf(fbk, cmd, sp.wts)
-        return jax.vmap(post)(carry, sp, goal, grf_body, cost)
+        return jax.vmap(post)(carry, sp, goal, cmd.quat_d, grf_body, cost)
 
     return fleet_step
 

@@ -578,8 +578,10 @@ def make_fleet_solver(
         # fleet to the WORST scenario's try count (any straggler serializes
         # 4096 lanes through up to 12 full rollouts). One K-wide rollout pass
         # selects, per scenario, the first (largest) alpha passing Armijo —
-        # identical accept semantics to serial backtracking with K tries.
-        n_alpha = min(opts.max_linesearch, 8)
+        # identical accept semantics to serial backtracking with K tries
+        # (the rollouts are vmapped, so extra alphas are lane width, not
+        # serial passes — honor the full max_linesearch budget).
+        n_alpha = opts.max_linesearch
         alphas = jnp.asarray(0.5 ** np.arange(n_alpha), dtype)
 
         def ilqr_iteration(state):
@@ -603,10 +605,16 @@ def make_fleet_solver(
             accepted = jnp.any(ok, axis=0)
             first = jnp.argmax(ok, axis=0)  # first True along descending alphas
             sel = (jnp.arange(n_alpha)[:, None] == first[None, :]) & ok
-            w = sel.astype(dtype)
-            xs_ls = jnp.sum(w[:, None, None, :] * xs_m, axis=0)
-            us_ls = jnp.sum(w[:, None, None, :] * us_m, axis=0)
-            J_ls = jnp.sum(w * J_m, axis=0) + jnp.where(accepted, 0.0, J)
+            # NaN-safe select: an unselected alpha's rollout may hold Inf/NaN
+            # states (the divergence case backtracking exists for); a 0/1
+            # weighted SUM would turn 0·Inf into NaN and silently discard the
+            # accepted step, so mask with `where` before reducing.
+            selm = sel[:, None, None, :]
+            xs_ls = jnp.sum(jnp.where(selm, xs_m, 0.0), axis=0)
+            us_ls = jnp.sum(jnp.where(selm, us_m, 0.0), axis=0)
+            J_ls = jnp.sum(jnp.where(sel, J_m, 0.0), axis=0) + jnp.where(
+                accepted, 0.0, J
+            )
 
             improved = accepted & (J_ls < J)
             take = improved & ~done

@@ -4,7 +4,9 @@ The reference has NO checkpointing (SURVEY.md §5: controllers are stateless
 beyond warm starts rebuilt per tick, ``QuatMpc.cpp:218,250-253``); a batched
 fleet running hours of domain-randomized rollouts needs it. Any pytree of
 arrays (fleet carries, estimator states, gait states, RNG keys) round-trips
-through Orbax when available, with a plain-npz fallback.
+through a plain compressed-npz file plus a pickled treedef. Prefer passing
+``like=`` to `restore` — it rebuilds the structure from your example pytree
+and never touches the pickle.
 
 Checkpoints are host-side snapshots: call at sweep boundaries, never inside
 the jitted step (a device->host pull inside the hot loop would serialize
@@ -53,7 +55,10 @@ def restore(path, like: Any | None = None) -> Any:
 
     like: optional example pytree — when given, its structure is used and
     leaves are cast to the example's dtypes (robust across jax versions);
-    otherwise the pickled treedef from save() is used.
+    otherwise the pickled treedef from save() is used. TRUST NOTE: the
+    treedef path unpickles `<path>.treedef`, which can execute arbitrary
+    code — only restore checkpoints you wrote yourself, or pass `like=`
+    (which never reads the pickle).
     """
     path = pathlib.Path(path)
     with np.load(path.with_suffix(".npz")) as data:

@@ -56,8 +56,13 @@ class MpcConfig:
     fz_max: float = 100.0
     iterations_max: int = 10
     # reference quirk (QuatMpc.cpp:242 comma-typo): the initial MPC state
-    # always carries ω = 0. Kept as the default for behavioral parity;
-    # set False for the corrected controller.
+    # always carries ω = 0. Kept as the default HERE (config presets =
+    # reference parity; this is what the fixture tests exercise). NOTE the
+    # closed-loop steps in runtime/step.py deliberately default the OPPOSITE
+    # (False = corrected ω feedback): their idealized force-tracking plant
+    # has no joint-level impedance to damp attitude, so the parity quirk
+    # tips the trot over. Entry points that take a FrameworkConfig thread
+    # THIS value through; hand-built steps use the corrected default.
     zero_initial_omega: bool = True
 
 

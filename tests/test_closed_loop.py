@@ -141,20 +141,36 @@ def test_fleet_standing_step_matches_vmapped():
     joy1 = rt.neutral_joy(dtype)
     tile = lambda t: jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), t)
     carry, sp, joy = tile(c1), tile(sp1), tile(joy1)
+    # attitude + body-rate perturbation so the ω-feedback path is exercised:
+    # with mismatched zero_initial_omega the trajectories split after one tick
+    q0 = jnp.asarray([0.995, 0.06, -0.04, 0.02], dtype)
+    q0 = q0 / jnp.linalg.norm(q0)
     carry = carry._replace(
         plant=carry.plant._replace(
-            vel=jnp.asarray([[0.05, 0, 0], [0, -0.05, 0], [0, 0, 0.02]], dtype)
+            vel=jnp.asarray([[0.05, 0, 0], [0, -0.05, 0], [0, 0, 0.02]], dtype),
+            omega=jnp.asarray([[0.2, -0.1, 0.05], [0, 0.15, 0], [-0.1, 0, 0.1]], dtype),
+            quat=jnp.broadcast_to(q0, (B, 4)),
         )
     )
 
     ref_step = rt.make_standing_step(horizon=6)
     fleet_step = rt.make_fleet_standing_step(horizon=6)
+    v_ref = jax.jit(jax.vmap(ref_step))
+    f_fl = jax.jit(fleet_step)
 
-    c_ref, m_ref = jax.jit(jax.vmap(ref_step))(carry, sp, joy)
-    c_fl, m_fl = jax.jit(fleet_step)(carry, sp, joy)
+    c_ref, c_fl = carry, carry
+    for _ in range(5):  # multiple steps: a one-step check can't see ω-path drift
+        c_ref, m_ref = v_ref(c_ref, sp, joy)
+        c_fl, m_fl = f_fl(c_fl, sp, joy)
     np.testing.assert_allclose(
-        np.asarray(c_fl.plant.pos), np.asarray(c_ref.plant.pos), atol=1e-8
+        np.asarray(c_fl.plant.pos), np.asarray(c_ref.plant.pos), atol=1e-7
     )
     np.testing.assert_allclose(
-        np.asarray(m_fl.mpc_cost), np.asarray(m_ref.mpc_cost), atol=1e-7
+        np.asarray(c_fl.plant.quat), np.asarray(c_ref.plant.quat), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_fl.mpc_cost), np.asarray(m_ref.mpc_cost), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_fl.att_err), np.asarray(m_ref.att_err), atol=1e-7
     )

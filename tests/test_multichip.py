@@ -50,6 +50,41 @@ def test_fleet_step_sharded(fleet_setup):
     )
 
 
+def test_fleet_shard_matches_single_device(fleet_setup):
+    """The batch-LAST fleet solver sharded over the mesh == the same fleet
+    step on one device (VERDICT r1 #1: the fast path must be the sharded
+    path). Metrics psum to fleet totals over ICI."""
+    carry, sp, joy, B = fleet_setup
+    # perturb per-scenario so shards aren't trivially identical
+    vel = jnp.asarray(
+        np.random.default_rng(3).standard_normal((B, 3)) * 0.05, jnp.float32
+    )
+    carry = carry._replace(plant=carry.plant._replace(vel=vel))
+
+    m = mesh_mod.scenario_mesh()
+    fleet_step = rt.make_fleet_standing_step(
+        horizon=4, opts=SolverOptions(al_iterations=1, ilqr_iterations=2)
+    )
+    sharded = mesh_mod.fleet_shard(fleet_step, m)
+    carry_s = mesh_mod.shard_batch(carry, m)
+    sp_s = mesh_mod.shard_batch(sp, m)
+    joy_s = mesh_mod.shard_batch(joy, m)
+    new_carry, metrics = jax.jit(sharded)(carry_s, sp_s, joy_s)
+    jax.block_until_ready(new_carry)
+
+    ref_carry, ref_metrics = jax.jit(fleet_step)(carry, sp, joy)
+    np.testing.assert_allclose(
+        np.array(new_carry.plant.pos), np.array(ref_carry.plant.pos), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.array(new_carry.plant.quat), np.array(ref_carry.plant.quat), atol=1e-5
+    )
+    assert float(metrics.alive) == B
+    np.testing.assert_allclose(
+        float(metrics.mpc_cost), float(jnp.sum(ref_metrics.mpc_cost)), rtol=1e-4
+    )
+
+
 def test_graft_dryrun():
     import __graft_entry__
 

@@ -28,17 +28,33 @@ def test_dihedral_angle_flat_vs_slope():
 
 def test_terrain_update_pitches_into_slope():
     st = terrain.init_terrain_state(window=1)
-    # uphill ahead: z grows with x
+    # uphill ahead: z grows with x, front feet (FL, FR) higher than rear
     feet = jnp.asarray(
         [[0.2, 0.15, 0.06], [0.2, -0.15, 0.06], [-0.2, 0.15, -0.06], [-0.2, -0.15, -0.06]],
         jnp.float32,
     )
-    st, pitch_d = terrain.terrain_update(st, feet, jnp.asarray(0.5))
+    st, pitch_d = terrain.terrain_update(st, feet, movement_mode=1, torso_height=0.3)
     assert float(st.terrain_angle) > 0.1
-    assert float(pitch_d) < 0.0  # leaning forward/down into the climb
-    # reversing direction flips the sign (QuatMpc.cpp:328-333)
-    _, pitch_back = terrain.terrain_update(st, feet, jnp.asarray(-0.5))
-    assert float(pitch_back) > 0.0
+    # F_R_diff = 0.24 > 0.05 -> pitch = -terrain_angle (QuatMpc.cpp:328-333)
+    assert float(pitch_d) < 0.0
+    # downhill (front feet lower) flips the sign
+    feet_down = feet.at[:, 2].set(jnp.asarray([-0.06, -0.06, 0.06, 0.06]))
+    _, pitch_down = terrain.terrain_update(st, feet_down, 1, 0.3)
+    assert float(pitch_down) > 0.0
+
+
+def test_terrain_update_gated_when_not_walking():
+    """Reference gate: adaptation only in walking mode with torso z > 0.1."""
+    st = terrain.init_terrain_state(window=1)
+    feet = jnp.asarray(
+        [[0.2, 0.15, 0.06], [0.2, -0.15, 0.06], [-0.2, 0.15, -0.06], [-0.2, -0.15, -0.06]],
+        jnp.float32,
+    )
+    st2, pitch_d = terrain.terrain_update(st, feet, movement_mode=0, torso_height=0.3)
+    assert float(pitch_d) == 0.0
+    assert float(st2.terrain_angle) == float(st.terrain_angle)
+    _, pitch_low = terrain.terrain_update(st, feet, movement_mode=1, torso_height=0.05)
+    assert float(pitch_low) == 0.0
 
 
 def test_chain_fk_matches_closed_form():
