@@ -64,6 +64,15 @@ def _setup(args):
         )
     cfg = table[args.config]()
     wts = quat_mpc.weights_from_config(cfg, dtype=dtype)
+    # controller routing (Main.cpp:69-91): the config key picks the MPC; the
+    # quat weights remain the plant's physical truth either way
+    if cfg.mpc.controller == "convex":
+        from quaternion_mpc_tpu.control import convex_mpc
+
+        args._ctrl_wts = convex_mpc.weights_from_config(cfg, dtype=dtype)
+    else:
+        args._ctrl_wts = wts
+    args._controller = cfg.mpc.controller
 
     # force synchronous dispatch before any timing: on the axon TPU tunnel a
     # fresh process is in a lazy mode where block_until_ready returns without
@@ -141,7 +150,8 @@ def cmd_run_standing(args) -> dict:
     from quaternion_mpc_tpu.runtime import step as rt
 
     carry1, sp1 = rt.init_scenario(
-        wts, srb.go1_params(dtype=dtype).foot_pos, dtype=dtype
+        wts, srb.go1_params(dtype=dtype).foot_pos, dtype=dtype,
+        ctrl_wts=args._ctrl_wts,
     )
     joy1 = rt.neutral_joy(dtype)
     carry = _tile(jnp, carry1, args.batch)
@@ -157,7 +167,9 @@ def cmd_run_standing(args) -> dict:
     )
     return _run_loop(
         args,
-        lambda: rt.make_fleet_standing_step(horizon=args.horizon),
+        lambda: rt.make_fleet_standing_step(
+            horizon=args.horizon, controller=args._controller
+        ),
         carry, joy, sp,
         ("height_err", "att_err", "mpc_cost", "alive"),
     )
@@ -169,14 +181,48 @@ def cmd_run_trot(args) -> dict:
 
     from quaternion_mpc_tpu.runtime import step as rt
 
-    carry1, sp1 = rt.init_walking_scenario(wts, dtype=dtype)
+    from quaternion_mpc_tpu.sim import terrain as terrain_mod
+
+    tp = None
+    if args.terrain != "flat":
+        tp = terrain_mod.make_terrain(args.terrain, dtype=dtype)
+    carry1, sp1 = rt.init_walking_scenario(
+        wts, dtype=dtype, terrain=tp, ctrl_wts=args._ctrl_wts
+    )
     joy1 = rt.neutral_joy(dtype)._replace(velx=jnp.asarray(args.velx, dtype))
     carry = _tile(jnp, carry1, args.batch)
     sp = _tile(jnp, sp1, args.batch)
     joy = _tile(jnp, joy1, args.batch)
     return _run_loop(
         args,
-        lambda: rt.make_fleet_walking_step(horizon=args.horizon),
+        lambda: rt.make_fleet_walking_step(
+            horizon=args.horizon, controller=args._controller
+        ),
+        carry, joy, sp,
+        ("vel_err", "height_err", "mpc_cost", "alive"),
+    )
+
+
+def cmd_run_actuated(args) -> dict:
+    """Joint-level actuated trot: MPC → torque layer → contact physics
+    (sim.articulated; the Gazebo-tier closed loop), vmapped over a fleet."""
+    jax, jnp, dtype, cfg, wts = _setup(args)
+
+    from quaternion_mpc_tpu.runtime import step as rt
+    from quaternion_mpc_tpu.sim import terrain as terrain_mod
+
+    tp = None
+    if args.terrain != "flat":
+        tp = terrain_mod.make_terrain(args.terrain, dtype=dtype)
+    carry1, sp1 = rt.init_actuated_scenario(wts, dtype=dtype, terrain=tp)
+    joy1 = rt.neutral_joy(dtype)._replace(velx=jnp.asarray(args.velx, dtype))
+    carry = _tile(jnp, carry1, args.batch)
+    sp = _tile(jnp, sp1, args.batch)
+    joy = _tile(jnp, joy1, args.batch)
+    step1 = rt.make_actuated_walking_step(horizon=args.horizon, n_sub=args.n_sub)
+    return _run_loop(
+        args,
+        lambda: jax.vmap(step1),
         carry, joy, sp,
         ("vel_err", "height_err", "mpc_cost", "alive"),
     )
@@ -199,7 +245,8 @@ def cmd_run_fleet(args) -> dict:
         raise SystemExit(f"--batch must divide the {n_dev}-device mesh")
 
     carry1, sp1 = rt.init_scenario(
-        wts, srb.go1_params(dtype=dtype).foot_pos, dtype=dtype
+        wts, srb.go1_params(dtype=dtype).foot_pos, dtype=dtype,
+        ctrl_wts=args._ctrl_wts,
     )
     joy1 = rt.neutral_joy(dtype)
     carry = _tile(jnp, carry1, args.batch)
@@ -221,7 +268,9 @@ def cmd_run_fleet(args) -> dict:
     # the batch-LAST fleet solver sharded over the scenario mesh: each device
     # solves its local shard in the fast lane-dense layout, metrics psum over
     # ICI (fleet_shard; the vmapped fleet_map path is the slow fallback)
-    step_fn = rt.make_fleet_standing_step(horizon=args.horizon)
+    step_fn = rt.make_fleet_standing_step(
+        horizon=args.horizon, controller=args._controller
+    )
     fleet = mesh_mod.fleet_shard(step_fn, mesh)
     carry = mesh_mod.shard_batch(carry, mesh)
     sp = mesh_mod.shard_batch(sp, mesh)
@@ -269,15 +318,22 @@ def cmd_bench_solver(args) -> dict:
     jax, jnp, dtype, cfg, wts = _setup(args)
     import numpy as np
 
-    from quaternion_mpc_tpu.control import quat_mpc
+    from quaternion_mpc_tpu.control import convex_mpc, quat_mpc
     from quaternion_mpc_tpu.examples import standing_batch as _example_batch
     from quaternion_mpc_tpu.solver import SolverOptions
 
-    ctrl = quat_mpc.make_fleet_controller(
-        args.horizon, SolverOptions(al_iterations=2, ilqr_iterations=5)
-    )
+    if args._controller == "convex":
+        ctrl = convex_mpc.make_fleet_controller(
+            args.horizon, SolverOptions(al_iterations=1, ilqr_iterations=5)
+        )
+    else:
+        ctrl = quat_mpc.make_fleet_controller(
+            args.horizon, SolverOptions(al_iterations=2, ilqr_iterations=5)
+        )
     step = jax.jit(ctrl)
-    fbk, cmd, wts_b = _example_batch(args.batch, args.horizon, dtype)
+    fbk, cmd, wts_b = _example_batch(
+        args.batch, args.horizon, dtype, controller=args._controller
+    )
     grf, cost = step(fbk, cmd, wts_b)
     jax.block_until_ready(grf)
     times = []
@@ -325,7 +381,18 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("run_trot", help="trot-walking fleet")
     _common(p)
     p.add_argument("--velx", type=float, default=0.4, help="commanded m/s")
+    p.add_argument("--terrain", default="flat",
+                   help="world: flat | slope | stairs | space")
     p.set_defaults(fn=cmd_run_trot)
+
+    p = sub.add_parser("run_actuated", help="joint-level torque-driven trot fleet")
+    _common(p)
+    p.add_argument("--velx", type=float, default=0.4, help="commanded m/s")
+    p.add_argument("--terrain", default="flat",
+                   help="world: flat | slope | stairs | space")
+    p.add_argument("--n_sub", type=int, default=40,
+                   help="physics substeps per MPC tick (40 = 4 kHz at h=10 ms)")
+    p.set_defaults(fn=cmd_run_actuated)
 
     p = sub.add_parser("run_fleet", help="mesh-sharded fleet w/ checkpointing")
     _common(p)

@@ -66,12 +66,15 @@ def build_problem(
     rot = lie.quat_to_rotmat(fbk.torso_quat)
     euler = lie.quat_to_euler(fbk.torso_quat)
 
-    num_contacts = jnp.maximum(jnp.sum(cmd.contacts), 1.0)
-    fz_share = cmd.contacts * wts.mass * GRAVITY / num_contacts
-    u_ref_k = jnp.concatenate(
-        [jnp.zeros((n_feet, 2), dtype=dtype), fz_share[:, None]], axis=-1
-    ).reshape(-1)
-    u_ref = jnp.tile(u_ref_k, (horizon + 1, 1))
+    # per-knot contact gating as in quat_mpc.build_problem: cmd.contacts is
+    # (n_feet,) shared or (N+1, n_feet) time-varying
+    contacts_k = jnp.broadcast_to(cmd.contacts, (horizon + 1, n_feet))
+    num_contacts = jnp.maximum(jnp.sum(contacts_k, axis=-1, keepdims=True), 1.0)
+    fz_share = contacts_k * wts.mass * GRAVITY / num_contacts
+    u_ref = jnp.concatenate(
+        [jnp.zeros((horizon + 1, n_feet, 2), dtype=dtype), fz_share[..., None]],
+        axis=-1,
+    ).reshape(horizon + 1, -1)
 
     steps = jnp.arange(horizon + 1, dtype=dtype)
     yaw_ref = euler[2] + cmd.ang_vel_body_d[2] * wts.h * steps
@@ -111,8 +114,12 @@ def build_problem(
 
     C = cone_matrix(wts.mu, dtype)  # world frame (no rotation, ConvexMpc.cpp:130-140)
     Cu = jnp.kron(jnp.eye(n_feet, dtype=dtype), C)
-    cb = jnp.zeros((6 * n_feet,), dtype=dtype)
-    cb = cb.at[4::6].set(-wts.fz_max * cmd.contacts)
+    if cmd.contacts.ndim == 1:
+        cb = jnp.zeros((6 * n_feet,), dtype=dtype)
+        cb = cb.at[4::6].set(-wts.fz_max * cmd.contacts)
+    else:
+        cb = jnp.zeros((horizon + 1, 6 * n_feet), dtype=dtype)
+        cb = cb.at[:, 4::6].set(-wts.fz_max * contacts_k)
 
     omega_world = rot @ fbk.torso_ang_vel_body
     x0 = jnp.concatenate(
@@ -152,6 +159,87 @@ def make_controller(
             mpc_iterations=sol.stats.iterations,
         )
         return out, sol
+
+    return grf_update
+
+
+# ---------------------------------------------------------------------------
+# Fleet-native (batch-last) path — mirrors quat_mpc.make_fleet_controller
+# ---------------------------------------------------------------------------
+
+
+def build_fleet_problem(fbk, cmd, wts, horizon: int):
+    """Batch-first (fbk, cmd, wts) pytrees -> batch-last FleetProblem."""
+    import jax
+
+    from quaternion_mpc_tpu.models import srb as srb_mod
+    from quaternion_mpc_tpu.solver.fleet import FleetProblem
+
+    prob_bf = jax.vmap(lambda f, c, w: build_problem(f, c, w, horizon))(
+        fbk, cmd, wts
+    )
+    bl = lambda a: jnp.moveaxis(a, 0, -1)
+    return FleetProblem(
+        x0=bl(prob_bf.x0),
+        x_ref=jnp.moveaxis(prob_bf.cost.x_ref, 0, -1),
+        u_ref=jnp.moveaxis(prob_bf.cost.u_ref, 0, -1),
+        Qd=bl(prob_bf.cost.Qd),
+        Rd=bl(prob_bf.cost.Rd),
+        w=prob_bf.cost.w,
+        Cu=bl(prob_bf.Cu),
+        cb=bl(prob_bf.cb),
+        h=prob_bf.h,
+        params=srb_mod.params_to_fleet(prob_bf.params, batch_axis=True),
+        us_init=jnp.moveaxis(prob_bf.us_init, 0, -1),
+    )
+
+
+FLEET_MODEL_SPEC = None
+
+
+def _fleet_spec():
+    global FLEET_MODEL_SPEC
+    if FLEET_MODEL_SPEC is None:
+        from quaternion_mpc_tpu.models.srb import (
+            euler_srb_dynamics_fleet,
+            euler_srb_jacobian_fleet,
+        )
+        from quaternion_mpc_tpu.solver.fleet import FleetModelSpec
+
+        FLEET_MODEL_SPEC = FleetModelSpec(
+            nx=12,
+            nu=12,
+            f=euler_srb_dynamics_fleet,
+            fj=euler_srb_jacobian_fleet,
+            quat_idx=None,
+            integrator="midpoint",
+        )
+    return FLEET_MODEL_SPEC
+
+
+def make_fleet_controller(
+    horizon: int,
+    opts: SolverOptions = SolverOptions(al_iterations=1, ilqr_iterations=5),
+    return_body: bool = False,
+):
+    """Batch-last convex grf_update over a whole fleet: batch-FIRST
+    (fbk, cmd, wts) pytrees in, (grf_world (B, n_feet, 3)[, grf_body], cost)
+    out — same surface as quat_mpc.make_fleet_controller so the runtime
+    steps can route on the `controller` config key."""
+    from quaternion_mpc_tpu.solver.fleet import make_fleet_solver
+
+    solver = make_fleet_solver(_fleet_spec(), opts)
+
+    def grf_update(fbk, cmd, wts):
+        prob = build_fleet_problem(fbk, cmd, wts, horizon)
+        sol = solver(prob)
+        u0 = jnp.moveaxis(sol.us[0], -1, 0)  # (B, 12) world frame
+        grf_world = u0.reshape(u0.shape[0], -1, 3)
+        rot = lie.quat_to_rotmat(fbk.torso_quat)  # (B, 3, 3)
+        grf_body = jnp.einsum("bij,bfi->bfj", rot, grf_world)  # Rᵀ·u rows
+        if return_body:
+            return grf_world, grf_body, sol.cost
+        return grf_world, sol.cost
 
     return grf_update
 

@@ -31,6 +31,109 @@ class JoyCommand(NamedTuple):
     sin_ang_vel: jnp.ndarray  # bool — sinusoidal attitude test mode
 
 
+# ---------------------------------------------------------------------------
+# Joystick mode state machine (BaseInterface.cpp:71-192)
+# ---------------------------------------------------------------------------
+
+
+class JoySample(NamedTuple):
+    """One raw joystick sample (the joy_callback axis/button map,
+    BaseInterface.cpp:71-133). Buttons are momentary press flags (bool);
+    axes are pre-scaled command values."""
+
+    velx: jnp.ndarray        # right stick up/down × velx_scale
+    vely: jnp.ndarray        # right stick horiz × vely_scale
+    velz: jnp.ndarray        # left stick up/down × height_vel (body height rate)
+    roll_rate: jnp.ndarray   # cross left/right × roll_rate_scale
+    pitch_rate: jnp.ndarray  # cross up/down × pitch_rate_scale
+    yaw_rate: jnp.ndarray    # left stick horiz × yaw_rate_scale
+    mode_switch: jnp.ndarray      # A — toggle walking/stand (bool)
+    default_pos: jnp.ndarray      # B — toggle default-pose servo (bool)
+    zero_torque: jnp.ndarray      # X — drop default-pose servo (bool)
+    sin_ang_vel: jnp.ndarray      # Y — sinusoidal attitude test (bool)
+    exit: jnp.ndarray             # LB — kill switch (bool)
+
+
+def neutral_joy_sample(dtype=jnp.float32) -> JoySample:
+    z = jnp.zeros((), dtype)
+    f = jnp.asarray(False)
+    return JoySample(velx=z, vely=z, velz=z, roll_rate=z, pitch_rate=z,
+                     yaw_rate=z, mode_switch=f, default_pos=f,
+                     zero_torque=f, sin_ang_vel=f, exit=f)
+
+
+class ModeState(NamedTuple):
+    """Explicit joystick/mode machine state (LeggedJoyCmd fields that the
+    reference mutates in joy_callback/joy_update, BaseInterface.cpp:135-192)."""
+
+    ctrl_state: jnp.ndarray       # int32 0 stand / 1 walk (A toggles)
+    prev_ctrl_state: jnp.ndarray
+    set_default_pos: jnp.ndarray  # bool (B toggles, X clears)
+    body_height: jnp.ndarray      # integrated height target, clamped
+    exit: jnp.ndarray             # latched kill
+
+
+def init_mode_state(body_height: float = 0.3, dtype=jnp.float32) -> ModeState:
+    return ModeState(
+        ctrl_state=jnp.zeros((), jnp.int32),
+        prev_ctrl_state=jnp.zeros((), jnp.int32),
+        set_default_pos=jnp.asarray(False),
+        body_height=jnp.asarray(body_height, dtype),
+        exit=jnp.asarray(False),
+    )
+
+
+# joystick height clamp (LeggedState.cpp joystick_{min,max}_height defaults)
+JOY_MIN_HEIGHT = 0.1
+JOY_MAX_HEIGHT = 0.35
+
+
+def joy_mode_update(
+    state: ModeState, joy: JoySample, dt=OUTER_DT
+) -> tuple[ModeState, JoyCommand, jnp.ndarray]:
+    """One joy_update tick (BaseInterface.cpp:135-192): integrate the body
+    height target, toggle ctrl_state on the A edge, default-pose on B,
+    and derive movement_mode (0 stand / 1 walk).
+
+    Returns (new_state, JoyCommand for goal_update, movement_mode int32).
+    Edge semantics match the reference: a press is consumed the tick it is
+    processed (the *_request flags live for exactly one joy_update)."""
+    dtype = state.body_height.dtype
+    exit_ = state.exit | joy.exit
+
+    body_height = jnp.clip(
+        state.body_height + joy.velz * dt, JOY_MIN_HEIGHT, JOY_MAX_HEIGHT
+    )
+    ctrl_state = jnp.where(
+        joy.mode_switch, (state.ctrl_state + 1) % 2, state.ctrl_state
+    )
+    set_default = jnp.where(
+        joy.default_pos, ~state.set_default_pos, state.set_default_pos
+    )
+    set_default = jnp.where(joy.zero_torque, jnp.asarray(False), set_default)
+
+    movement_mode = jnp.where(
+        ctrl_state == 1, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32)
+    )
+    cmd = JoyCommand(
+        velx=joy.velx.astype(dtype),
+        vely=joy.vely.astype(dtype),
+        body_height=body_height,
+        roll_rate=joy.roll_rate.astype(dtype),
+        pitch_rate=joy.pitch_rate.astype(dtype),
+        yaw_rate=joy.yaw_rate.astype(dtype),
+        sin_ang_vel=joy.sin_ang_vel,
+    )
+    new_state = ModeState(
+        ctrl_state=ctrl_state,
+        prev_ctrl_state=state.ctrl_state,
+        set_default_pos=set_default,
+        body_height=body_height,
+        exit=exit_,
+    )
+    return new_state, cmd, movement_mode
+
+
 class GoalState(NamedTuple):
     torso_pos_d_world: jnp.ndarray  # (3,)
     quat_d: jnp.ndarray             # (4,)

@@ -130,13 +130,17 @@ def build_problem(
     n_feet = fbk.foot_pos_body.shape[-2]
     rot = lie.quat_to_rotmat(fbk.torso_quat)
 
-    # references over the horizon (QuatMpc.cpp:148-176)
-    num_contacts = jnp.maximum(jnp.sum(cmd.contacts), 1.0)
-    fz_share = cmd.contacts * wts.mass * GRAVITY / num_contacts
-    u_ref_k = jnp.concatenate(
-        [jnp.zeros((n_feet, 2), dtype=dtype), fz_share[:, None]], axis=-1
-    ).reshape(-1)
-    u_ref = jnp.tile(u_ref_k, (horizon + 1, 1))
+    # references over the horizon (QuatMpc.cpp:148-176). cmd.contacts is
+    # either (n_feet,) — one schedule tiled over the horizon, the reference
+    # behavior (ConvexMpc.cpp:82 TODO) — or (N+1, n_feet) per-knot from
+    # gait.predict_contact_state, so the MPC sees upcoming stance switches.
+    contacts_k = jnp.broadcast_to(cmd.contacts, (horizon + 1, n_feet))
+    num_contacts = jnp.maximum(jnp.sum(contacts_k, axis=-1, keepdims=True), 1.0)
+    fz_share = contacts_k * wts.mass * GRAVITY / num_contacts  # (N+1, n_feet)
+    u_ref = jnp.concatenate(
+        [jnp.zeros((horizon + 1, n_feet, 2), dtype=dtype), fz_share[..., None]],
+        axis=-1,
+    ).reshape(horizon + 1, -1)
 
     steps = jnp.arange(horizon + 1, dtype=dtype)[:, None]
     pos_ref = cmd.pos_body_d + cmd.lin_vel_body_d * steps * wts.h
@@ -158,8 +162,12 @@ def build_problem(
     # friction pyramid in world frame: C·R·u_leg + b ≤ 0 (QuatMpc.cpp:194-215)
     C_world = cone_matrix(wts.mu, dtype) @ rot  # (6, 3)
     Cu = jnp.kron(jnp.eye(n_feet, dtype=dtype), C_world)
-    cb = jnp.zeros((6 * n_feet,), dtype=dtype)
-    cb = cb.at[4::6].set(-wts.fz_max * cmd.contacts)
+    if cmd.contacts.ndim == 1:
+        cb = jnp.zeros((6 * n_feet,), dtype=dtype)
+        cb = cb.at[4::6].set(-wts.fz_max * cmd.contacts)
+    else:
+        cb = jnp.zeros((horizon + 1, 6 * n_feet), dtype=dtype)
+        cb = cb.at[:, 4::6].set(-wts.fz_max * contacts_k)
 
     v_body = rot.T @ fbk.torso_lin_vel_world
     omega0 = jnp.zeros((3,), dtype=dtype) if zero_initial_omega else fbk.torso_ang_vel_body

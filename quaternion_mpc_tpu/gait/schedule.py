@@ -9,8 +9,10 @@ as *data* and the transition logic as masked ops:
 - early-contact transition when >90% through swing with foot force (:55-67);
 - swing targets from the quintic curve (:237-246);
 - ``predict_contact_state`` horizon prediction (:272-286), which the
-  reference declared but never wired into the MPC — here it feeds per-knot
-  contact schedules.
+  reference declared but never wired into the MPC — here
+  ``predict_contact_schedule`` feeds per-knot (N+1, n_feet) contact
+  schedules into ``quat_mpc.build_problem`` (the walking steps in
+  ``runtime/step.py`` pass them by default).
 
 All functions vmap over legs and over scenarios.
 """
@@ -237,3 +239,20 @@ def predict_contact_state(
     ge = pattern.switch_time >= predicted[..., None]
     idx = jnp.argmax(ge, axis=-1)
     return _seg_state(pattern, idx) == STANCE
+
+
+def predict_contact_schedule(
+    state: GaitState, pattern: GaitPattern, gait_freq, h, n_knots: int
+) -> jnp.ndarray:
+    """(n_knots, n_legs) planned contacts at t, t+h, ..., t+(n_knots−1)h —
+    the per-knot MPC contact schedule the reference declared but never wired
+    (LeggedContactFSM.cpp:272-286; TODO at ConvexMpc.cpp:82). Row 0 is the
+    CURRENT FSM state (respecting early-contact transitions), later rows are
+    pattern-table lookups at the predicted phase."""
+    import jax
+
+    dts = jnp.arange(n_knots, dtype=state.phase.dtype) * h
+    sched = jax.vmap(
+        lambda dt: predict_contact_state(state, pattern, gait_freq, dt)
+    )(dts)
+    return sched.at[0].set(contact_flags(state, pattern))

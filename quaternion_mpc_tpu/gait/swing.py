@@ -58,7 +58,11 @@ def quintic_swing_target(
     # vanish with |d|=0 anyway, so the difference is only exact zeros.
 
     zeros = jnp.zeros_like(dx)
-    apex = jnp.full_like(dx, Z_APEX)
+    # z apex RELATIVE to the higher of liftoff/touchdown: the reference's
+    # absolute 0.1 m (Utils.cpp:259) assumes the flat world's z≈0 ground —
+    # on slope/stairs worlds an absolute apex would drive the swing foot
+    # into the terrain. Identical on flat ground (max(0,0)+0.1).
+    apex = jnp.maximum(p_start[..., 2], p_end[..., 2]) + Z_APEX
 
     def axis_con(p0, pT, v0, vT, mid, vmid):
         return jnp.stack([p0, pT, v0, vT, mid, vmid], axis=-1)

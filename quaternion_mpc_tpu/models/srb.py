@@ -363,3 +363,124 @@ def euler_srb_jacobian(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp.ndar
     J = J.at[0:6, 6:12].set(A[0:6, 6:12])
     J = J.at[6:12, 12:].set(B[6:12, :])
     return J
+
+
+# ---------------------------------------------------------------------------
+# Fleet-native (batch-last) Euler SRB: x (12, B), u (3·n_feet, B).
+# Same layout conventions as the quaternion fleet model above.
+# ---------------------------------------------------------------------------
+
+
+def _rotz_bl(yaw):
+    """(3, 3, B) yaw rotation from a (B,) yaw vector."""
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    z = jnp.zeros_like(yaw)
+    one = jnp.ones_like(yaw)
+    return jnp.stack(
+        [
+            jnp.stack([c, -s, z]),
+            jnp.stack([s, c, z]),
+            jnp.stack([z, z, one]),
+        ]
+    )
+
+
+def _inv_inertia_world_bl(yaw, inertia):
+    """Rz · I⁻¹ · Rzᵀ as a (3, 3, B) stack ((Rz I Rzᵀ)⁻¹)."""
+    Rz = _rotz_bl(yaw)
+    invI = _inv3_bl(jnp.broadcast_to(inertia, Rz.shape))
+    tmp = jnp.sum(Rz[:, :, None, :] * invI[None, :, :, :], axis=1)  # Rz·I⁻¹
+    return jnp.sum(tmp[:, :, None, :] * Rz.swapaxes(0, 1)[None, :, :, :], axis=1)
+
+
+def euler_srb_dynamics_fleet(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp.ndarray:
+    """Batch-last Euler SRB ẋ (AltroUtils.cpp:224-293 semantics):
+    x = [rpy, p, ω_world, v_world] (12, B), u (3·n_feet, B)."""
+    yaw = x[2]
+    omega = x[6:9]
+    v = x[9:12]
+    n_feet = p.foot_pos.shape[0]
+
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    # yaw-only ang_vel → rpy-rate map (AltroUtils.cpp:256-259)
+    rpy_rate = jnp.stack(
+        [c * omega[0] + s * omega[1], -s * omega[0] + c * omega[1], omega[2]]
+    )
+
+    forces = u.reshape(n_feet, 3, -1)
+    total_force = jnp.sum(forces, axis=0)
+    moment = jnp.sum(jnp.cross(p.foot_pos, forces, axis=1), axis=0)
+    inv_Iw = _inv_inertia_world_bl(yaw, p.inertia)
+    omega_dot = jnp.sum(inv_Iw * moment[None, :, :], axis=1)
+
+    g = jnp.zeros_like(v).at[2].set(-GRAVITY)
+    v_dot = total_force / p.mass + g
+    return jnp.concatenate([rpy_rate, v, omega_dot, v_dot], axis=0)
+
+
+def euler_srb_jacobian_fleet(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp.ndarray:
+    """Batch-last reference-faithful approximate Jacobian (12, 12+n_u, B)
+    matching `euler_srb_jacobian`: d(rpy_rate)/dyaw + constant A/B blocks,
+    d(B·u)/dyaw dropped (AltroUtils.cpp:352-359). Scatter-free assembly."""
+    del u
+    B = x.shape[-1]
+    dtype = x.dtype
+    yaw = x[2]
+    wx, wy = x[6], x[7]
+    n_feet = p.foot_pos.shape[0]
+    n_u = 3 * n_feet
+
+    def zeros(*shape):
+        return jnp.zeros(shape + (B,), dtype=dtype)
+
+    def bcast(a, *shape):
+        return jnp.broadcast_to(a, shape + (B,))
+
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    zero = jnp.zeros_like(yaw)
+    one = jnp.ones_like(yaw)
+    # rows 0-2: d(rpy_rate)/dyaw at col 2, ang_vel_to_rpy at cols 6-9
+    dyaw = jnp.stack([wy * c - wx * s, -wx * c - wy * s, zero])  # (3, B)
+    ang_vel_to_rpy = jnp.stack(
+        [
+            jnp.stack([c, s, zero]),
+            jnp.stack([-s, c, zero]),
+            jnp.stack([zero, zero, one]),
+        ]
+    )
+    rpy_rows = jnp.concatenate(
+        [zeros(3, 2), dyaw[:, None, :], zeros(3, 3), ang_vel_to_rpy,
+         zeros(3, 3 + n_u)],
+        axis=1,
+    )
+
+    r3 = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 0)
+    c3 = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
+    eye3 = (r3 == c3).astype(dtype)[..., None]
+    # rows 3-5 (ṗ = v): I₃ at cols 9-11
+    p_rows = jnp.concatenate(
+        [zeros(3, 9), bcast(eye3, 3, 3), zeros(3, n_u)], axis=1
+    )
+
+    # rows 6-8 (ω̇): I_w⁻¹·skew(r_i) per foot at cols 12+3i
+    inv_Iw = _inv_inertia_world_bl(yaw, p.inertia)
+    blks = []
+    for i in range(n_feet):
+        r = jnp.broadcast_to(p.foot_pos[i], (3, B))
+        rx, ry, rz = r[0], r[1], r[2]
+        zz = jnp.zeros_like(rx)
+        skew_r = jnp.stack(
+            [
+                jnp.stack([zz, -rz, ry]),
+                jnp.stack([rz, zz, -rx]),
+                jnp.stack([-ry, rx, zz]),
+            ]
+        )
+        blks.append(jnp.sum(inv_Iw[:, :, None, :] * skew_r[None, :, :, :], axis=1))
+    w_rows = jnp.concatenate([zeros(3, 12)] + blks, axis=1)
+
+    # rows 9-11 (v̇): I₃/m per foot
+    dv_du = bcast(jnp.tile(eye3 * (1.0 / p.mass), (1, n_feet, 1)), 3, n_u)
+    v_rows = jnp.concatenate([zeros(3, 12), dv_du], axis=1)
+
+    return jnp.concatenate([rpy_rows, p_rows, w_rows, v_rows], axis=0)

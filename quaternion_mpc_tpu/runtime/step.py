@@ -36,11 +36,16 @@ class StepMetrics(NamedTuple):
 
 
 class ScenarioParams(NamedTuple):
-    """Per-scenario randomizable parameters (a pytree → domain randomization)."""
+    """Per-scenario randomizable parameters (a pytree → domain randomization).
+
+    terrain: optional `sim.terrain.TerrainParams` world for the walking
+    steps (None → flat ground). Per-scenario data, so a fleet can mix flat/
+    slope/stairs worlds (`TerrainParams.kind` is traced)."""
 
     wts: quat_mpc.QuatMpcWeights
     plant_params: plant.PlantParams
     target_height: jnp.ndarray
+    terrain: "object" = None
 
 
 def feedback_from_plant(ps: plant.PlantState, foot_pos_body) -> RobotFeedback:
@@ -59,11 +64,36 @@ def feedback_from_plant(ps: plant.PlantState, foot_pos_body) -> RobotFeedback:
     )
 
 
+def _make_grf_update(controller: str, horizon, opts, zero_initial_omega):
+    """Controller routing on the config key (Main.cpp:69-91: controller_type
+    1 = ConvexMpc, 2 = QuatMpc)."""
+    if controller == "quat":
+        return quat_mpc.make_controller(horizon, opts, zero_initial_omega)
+    if controller == "convex":
+        from quaternion_mpc_tpu.control import convex_mpc
+
+        return convex_mpc.make_controller(horizon, opts)
+    raise ValueError(f"controller must be 'quat' or 'convex', got {controller!r}")
+
+
+def _make_fleet_grf(controller: str, horizon, opts, zero_initial_omega):
+    if controller == "quat":
+        return quat_mpc.make_fleet_controller(
+            horizon, opts, zero_initial_omega=zero_initial_omega, return_body=True
+        )
+    if controller == "convex":
+        from quaternion_mpc_tpu.control import convex_mpc
+
+        return convex_mpc.make_fleet_controller(horizon, opts, return_body=True)
+    raise ValueError(f"controller must be 'quat' or 'convex', got {controller!r}")
+
+
 def make_standing_step(
     horizon: int = 10,
     opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=5),
     plant_substeps: int = 2,
     zero_initial_omega: bool = False,
+    controller: str = "quat",
 ):
     """Standing-balance closed loop (SURVEY.md §7 minimum slice): all-stance,
     forces applied directly at the feet; per-scenario safety/divergence
@@ -71,9 +101,10 @@ def make_standing_step(
 
     Like `make_walking_step`, the closed loop defaults to the corrected
     controller (ω feedback on, see note there); pass True to reproduce the
-    reference's QuatMpc.cpp:242 behavior.
+    reference's QuatMpc.cpp:242 behavior. ``controller`` picks the MPC
+    (quat | convex); pass matching weights in ``ScenarioParams.wts``.
     """
-    grf_update = quat_mpc.make_controller(horizon, opts, zero_initial_omega)
+    grf_update = _make_grf_update(controller, horizon, opts, zero_initial_omega)
 
     def control_step(carry: ScenarioCarry, sp: ScenarioParams, joy: goals.JoyCommand):
         fbk = feedback_from_plant(carry.plant, sp.plant_params.foot_pos_body)
@@ -119,6 +150,7 @@ class WalkingCarry(NamedTuple):
     gait: "object"            # schedule.GaitState
     feet_world: jnp.ndarray   # (n_feet, 3) simulated foot positions
     alive: jnp.ndarray
+    terrain_est: "object" = None  # kin.terrain.TerrainState (pitch adaptation)
 
 
 class WalkingMetrics(NamedTuple):
@@ -134,6 +166,8 @@ def make_walking_step(
     gait_freq: float = 2.2,
     pattern=None,
     zero_initial_omega: bool = False,
+    per_knot_contacts: bool = True,
+    controller: str = "quat",
 ):
     """Trot-walking closed loop: gait FSM → Raibert footholds → quat-MPC →
     force application at the current stance feet.
@@ -142,11 +176,20 @@ def make_walking_step(
     stance feet are pinned to the ground and realize the commanded GRF
     (ideal low-level force tracking), swing feet follow the quintic FSM
     targets with zero force. Joint angles are recovered via analytic IK each
-    tick so the kinematics layer runs in the loop.
+    tick so the kinematics layer runs in the loop. (For the torque-driven
+    joint-level tier, see `make_actuated_walking_step`.)
+
+    Terrain: when ``sp.terrain`` is a `sim.terrain.TerrainParams`, foothold
+    targets snap onto the world surface (slope/stairs analogs of
+    ``unitree_gazebo/worlds/``), the height target and safety floor are
+    ground-relative, and the desired pitch adapts to the fitted walking
+    surface (``QuatMpc.cpp:307-335`` via `kin.terrain.terrain_update`).
     """
     from quaternion_mpc_tpu.gait import raibert as raibert_mod
     from quaternion_mpc_tpu.gait import schedule as sched_mod
     from quaternion_mpc_tpu.kin import leg as leg_mod
+    from quaternion_mpc_tpu.kin import terrain as kterr_mod
+    from quaternion_mpc_tpu.sim import terrain as terrain_mod
 
     if pattern is None:
         pattern = sched_mod.trot_pattern()
@@ -155,7 +198,7 @@ def make_walking_step(
     # force-tracking plant has no other source of attitude damping and the
     # trot tips over after ~2 s; the real reference survives via joint-level
     # impedance the SRB plant doesn't model.
-    grf_update = quat_mpc.make_controller(horizon, opts, zero_initial_omega)
+    grf_update = _make_grf_update(controller, horizon, opts, zero_initial_omega)
 
     def control_step(carry: WalkingCarry, sp: ScenarioParams, joy: goals.JoyCommand):
         ps = carry.plant
@@ -186,7 +229,11 @@ def make_walking_step(
         target_world, _ = raibert_mod.foothold_targets(
             ps.pos, ps.quat, ps.vel, vel_d_rel, default_rel, gait_freq
         )
-        target_world = target_world.at[:, 2].set(0.0)  # feet land on the ground
+        # feet land ON the world surface (z=0 for the flat default)
+        tp = sp.terrain if sp.terrain is not None else terrain_mod.make_terrain(
+            "flat", dtype=dtype
+        )
+        target_world = terrain_mod.snap_to_ground(tp, target_world)
 
         gait = sched_mod.gait_update(
             carry.gait,
@@ -198,11 +245,38 @@ def make_walking_step(
             contacts_now > 0.5,
         )
         plan_contacts = sched_mod.contact_flags(gait, pattern).astype(dtype)
+        # per-knot (N+1, n_feet) schedule: the MPC sees upcoming stance
+        # switches inside its horizon (wires the reference's unplumbed
+        # predict_contact_state, LeggedContactFSM.cpp:272-286)
+        mpc_contacts = plan_contacts
+        if per_knot_contacts:
+            mpc_contacts = sched_mod.predict_contact_schedule(
+                gait, pattern, jnp.asarray(gait_freq, dtype), sp.wts.h, horizon + 1
+            ).astype(dtype)
 
-        goal, cmd = goals.goal_update(carry.goal, fbk, joy, plan_contacts, dt=sp.wts.h)
+        goal, cmd = goals.goal_update(carry.goal, fbk, joy, mpc_contacts, dt=sp.wts.h)
+        # ground-relative height target: local ground = contact-weighted mean
+        # stance-foot height (smooth on stairs; exact on flat/slope)
+        n_stance = jnp.maximum(jnp.sum(plan_contacts), 1.0)
+        ground_z = jnp.sum(carry.feet_world[:, 2] * plan_contacts) / n_stance
         cmd = cmd._replace(
-            pos_body_d=cmd.pos_body_d.at[2].set(sp.target_height - ps.pos[2])
+            pos_body_d=cmd.pos_body_d.at[2].set(
+                ground_z + sp.target_height - ps.pos[2]
+            )
         )
+        # walking-surface pitch adaptation (QuatMpc.cpp:307-335)
+        terr_est, pitch_d = kterr_mod.terrain_update(
+            carry.terrain_est,
+            carry.feet_world - ps.pos,
+            movement_mode=1,
+            torso_height=ps.pos[2] - ground_z,
+            contact_weights=plan_contacts,
+        )
+        eul_d = lie.quat_to_euler(cmd.quat_d)
+        quat_d = lie.euler_to_quat(
+            jnp.stack([eul_d[0], eul_d[1] + pitch_d, eul_d[2]])
+        )
+        cmd = cmd._replace(quat_d=quat_d)
         out, _sol = grf_update(fbk, cmd, sp.wts)
 
         # apply stance forces at the *current* feet; move swing feet to targets
@@ -214,7 +288,10 @@ def make_walking_step(
         )
 
         ok = safety.is_safe(new_plant.quat, fbk.joint_vel)
-        ok = ok & safety.finite_state(new_plant) & (new_plant.pos[2] > 0.05)
+        ground_under = terrain_mod.height(tp, new_plant.pos[:2])
+        ok = ok & safety.finite_state(new_plant) & (
+            new_plant.pos[2] - ground_under > 0.05
+        )
         alive = carry.alive & ok
         kept_plant = jax.tree.map(
             lambda new, old: jnp.where(alive, new, old), new_plant, ps
@@ -225,12 +302,13 @@ def make_walking_step(
         metrics = WalkingMetrics(
             mpc_cost=out.mpc_cost,
             vel_err=jnp.abs(vel_rel[0] - joy.velx),
-            height_err=jnp.abs(kept_plant.pos[2] - sp.target_height),
+            height_err=jnp.abs(kept_plant.pos[2] - ground_z - sp.target_height),
             alive=alive.astype(dtype),
         )
         return (
             WalkingCarry(
-                plant=kept_plant, goal=goal, gait=gait, feet_world=feet_world, alive=alive
+                plant=kept_plant, goal=goal, gait=gait, feet_world=feet_world,
+                alive=alive, terrain_est=terr_est,
             ),
             metrics,
         )
@@ -242,8 +320,16 @@ def init_walking_scenario(
     wts: quat_mpc.QuatMpcWeights,
     height: float = 0.3,
     dtype=jnp.float32,
+    terrain=None,
+    pattern=None,
+    ctrl_wts=None,
 ):
+    """``wts`` (QuatMpcWeights) always defines the PLANT physical truth;
+    ``ctrl_wts`` (e.g. ConvexMpcWeights) overrides the controller weights in
+    ``ScenarioParams.wts`` when running a non-quat controller."""
     from quaternion_mpc_tpu.gait import schedule as sched_mod
+    from quaternion_mpc_tpu.kin import terrain as kterr_mod
+    from quaternion_mpc_tpu.sim import terrain as terrain_mod
 
     ps = plant.init_state(height=height, dtype=dtype)
     default_rel = jnp.asarray(
@@ -251,7 +337,10 @@ def init_walking_scenario(
         dtype=dtype,
     )
     feet_world = default_rel + ps.pos
-    feet_world = feet_world.at[:, 2].set(0.0)
+    if terrain is not None:
+        feet_world = terrain_mod.snap_to_ground(terrain, feet_world)
+    else:
+        feet_world = feet_world.at[:, 2].set(0.0)
     pp = plant.PlantParams(
         mass=wts.mass,
         inertia=wts.inertia,
@@ -260,14 +349,20 @@ def init_walking_scenario(
         foot_pos_body=default_rel,
     )
     fbk = feedback_from_plant(ps, default_rel)
+    if pattern is None:
+        pattern = sched_mod.trot_pattern()
     carry = WalkingCarry(
         plant=ps,
         goal=goals.init_goal_state(fbk),
-        gait=sched_mod.init_gait_state(feet_world, sched_mod.trot_pattern()),
+        gait=sched_mod.init_gait_state(feet_world, pattern),
         feet_world=feet_world,
         alive=jnp.asarray(True),
+        terrain_est=kterr_mod.init_terrain_state(dtype=dtype),
     )
-    sp = ScenarioParams(wts=wts, plant_params=pp, target_height=jnp.asarray(height, dtype))
+    sp = ScenarioParams(
+        wts=wts if ctrl_wts is None else ctrl_wts, plant_params=pp,
+        target_height=jnp.asarray(height, dtype), terrain=terrain,
+    )
     return carry, sp
 
 
@@ -276,6 +371,7 @@ def init_scenario(
     foot_pos_body,
     height: float = 0.3,
     dtype=jnp.float32,
+    ctrl_wts=None,
 ):
     ps = plant.init_state(height=height, dtype=dtype)
     pp = plant.PlantParams(
@@ -291,7 +387,11 @@ def init_scenario(
         goal=goals.init_goal_state(fbk),
         alive=jnp.asarray(True),
     )
-    sp = ScenarioParams(wts=wts, plant_params=pp, target_height=jnp.asarray(height, dtype))
+    sp = ScenarioParams(
+        wts=wts if ctrl_wts is None else ctrl_wts,
+        plant_params=pp,
+        target_height=jnp.asarray(height, dtype),
+    )
     return carry, sp
 
 
@@ -430,11 +530,445 @@ def init_estimated_scenario(
     return carry, sp
 
 
+class EstWalkingCarry(NamedTuple):
+    plant: plant.PlantState
+    goal: goals.GoalState
+    gait: "object"
+    feet_world: jnp.ndarray
+    terrain_est: "object"
+    est: "object"             # kf.KFState | ekf.EkfState | None (kf_type 0)
+    alive: jnp.ndarray
+
+
+def make_estimated_walking_step(
+    horizon: int = 10,
+    opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=4),
+    gait_freq: float = 2.2,
+    pattern=None,
+    kf_type: int = 1,
+    per_knot_contacts: bool = True,
+):
+    """Trot closed over the ESTIMATED state with the reference's estimator
+    routing (``GazeboInterface.cpp:136-192`` / ``HardwareInterface.cpp:183-214``):
+
+    - kf_type=0: ground truth (gt_pose_callback direct write);
+    - kf_type=1: BasicKF 18/28 linear KF (contact-aided leg odometry);
+    - kf_type=2: 21-state EKF (`est.ekf`, the CasADi-submodule equivalent)
+      with per-tick simulated-mocap fusion — the returned step takes an
+      optional 4th argument ``mocap_on`` (scalar bool) to model mocap
+      dropout/re-fusion; default on.
+
+    The controller sees estimated torso position/velocity; attitude and
+    body rates come from the IMU as in the reference. Ground truth lives
+    only in the plant."""
+    from quaternion_mpc_tpu.est import ekf as ekf_mod
+    from quaternion_mpc_tpu.est import kf as kf_mod
+    from quaternion_mpc_tpu.gait import raibert as raibert_mod
+    from quaternion_mpc_tpu.gait import schedule as sched_mod
+    from quaternion_mpc_tpu.kin import leg as leg_mod
+    from quaternion_mpc_tpu.kin import terrain as kterr_mod
+    from quaternion_mpc_tpu.sim import terrain as terrain_mod
+
+    if pattern is None:
+        pattern = sched_mod.trot_pattern()
+    if kf_type not in (0, 1, 2):
+        raise ValueError(f"kf_type must be 0, 1 or 2, got {kf_type}")
+    grf_update = quat_mpc.make_controller(horizon, opts, zero_initial_omega=False)
+
+    def control_step(
+        carry: EstWalkingCarry, sp: ScenarioParams, joy: goals.JoyCommand,
+        mocap_on=None,
+    ):
+        ps = carry.plant
+        dtype = ps.pos.dtype
+        rot = lie.quat_to_rotmat(ps.quat)
+        # encoders see the TRUE kinematics (feet pinned in world)
+        foot_pos_body = (carry.feet_world - ps.pos) @ rot
+        rho_fix = leg_mod.go1_rho_fix(dtype)
+        joint_pos = leg_mod.ik(foot_pos_body, rho_fix)
+
+        # estimated torso pos/vel per kf_type; IMU attitude/rates are true
+        if kf_type == 0:
+            est_pos, est_vel = ps.pos, ps.vel
+        elif kf_type == 1:
+            est_pos, est_vel = carry.est.x[0:3], carry.est.x[3:6]
+        else:
+            est_pos, est_vel = carry.est.x[0:3], carry.est.x[3:6]
+
+        contacts_now = sched_mod.contact_flags(carry.gait, pattern).astype(dtype)
+        fbk = RobotFeedback(
+            torso_pos_world=est_pos,
+            torso_quat=ps.quat,
+            torso_lin_vel_world=est_vel,
+            torso_ang_vel_body=ps.omega,
+            foot_pos_body=foot_pos_body,
+            foot_contact=contacts_now,
+            joint_pos=joint_pos.reshape(-1),
+            joint_vel=jnp.zeros_like(joint_pos).reshape(-1),
+        )
+
+        vel_d_rel = jnp.stack([joy.velx, joy.vely, jnp.zeros_like(joy.velx)])
+        default_rel = jnp.asarray(
+            [[0.20, 0.14, -0.3], [0.20, -0.14, -0.3],
+             [-0.20, 0.14, -0.3], [-0.20, -0.14, -0.3]], dtype=dtype)
+        # Raibert runs on the ESTIMATED velocity (BaseInterface.cpp:266-288
+        # uses fbk.torso_lin_vel_* from the estimator) but true foot anchors
+        target_world, _ = raibert_mod.foothold_targets(
+            ps.pos, ps.quat, est_vel, vel_d_rel, default_rel, gait_freq
+        )
+        tp = sp.terrain if sp.terrain is not None else terrain_mod.make_terrain(
+            "flat", dtype=dtype
+        )
+        target_world = terrain_mod.snap_to_ground(tp, target_world)
+        gait = sched_mod.gait_update(
+            carry.gait, pattern, sp.wts.h, jnp.asarray(gait_freq, dtype),
+            carry.feet_world, target_world, contacts_now > 0.5,
+        )
+        plan_contacts = sched_mod.contact_flags(gait, pattern).astype(dtype)
+        mpc_contacts = plan_contacts
+        if per_knot_contacts:
+            mpc_contacts = sched_mod.predict_contact_schedule(
+                gait, pattern, jnp.asarray(gait_freq, dtype), sp.wts.h, horizon + 1
+            ).astype(dtype)
+        goal, cmd = goals.goal_update(carry.goal, fbk, joy, mpc_contacts, dt=sp.wts.h)
+        n_stance = jnp.maximum(jnp.sum(plan_contacts), 1.0)
+        ground_z = jnp.sum(carry.feet_world[:, 2] * plan_contacts) / n_stance
+        cmd = cmd._replace(
+            pos_body_d=cmd.pos_body_d.at[2].set(
+                ground_z + sp.target_height - est_pos[2]
+            )
+        )
+        terr_est, pitch_d = kterr_mod.terrain_update(
+            carry.terrain_est, carry.feet_world - ps.pos,
+            movement_mode=1, torso_height=est_pos[2] - ground_z,
+            contact_weights=plan_contacts,
+        )
+        eul_d = lie.quat_to_euler(cmd.quat_d)
+        cmd = cmd._replace(
+            quat_d=lie.euler_to_quat(
+                jnp.stack([eul_d[0], eul_d[1] + pitch_d, eul_d[2]])
+            )
+        )
+        out, _sol = grf_update(fbk, cmd, sp.wts)
+
+        f_body = out.grf_body * plan_contacts[:, None]
+        pp = sp.plant_params._replace(foot_pos_body=foot_pos_body)
+        new_plant = plant.step(ps, f_body, pp, sp.wts.h)
+        feet_world = jnp.where(
+            plan_contacts[:, None] > 0.5, carry.feet_world, gait.target_pos
+        )
+
+        # --- estimator tick against the NEW plant state
+        est_state = carry.est
+        if kf_type > 0:
+            rot_new = lie.quat_to_rotmat(new_plant.quat)
+            foot_body_new = (feet_world - new_plant.pos) @ rot_new
+            # IMU specific force from the realized stance forces
+            acc_body = jnp.sum(f_body, axis=0) / sp.plant_params.mass
+            # rel foot velocity d/dt Rᵀ(p_f − p): stance feet are fixed,
+            # swing feet move at the FSM target velocity
+            v_feet = jnp.where(
+                plan_contacts[:, None] > 0.5, 0.0, gait.target_vel
+            )
+            foot_vel_rel = (v_feet - new_plant.vel) @ rot_new - jnp.cross(
+                jnp.broadcast_to(new_plant.omega, foot_body_new.shape),
+                foot_body_new,
+            )
+            if kf_type == 1:
+                kf_in = kf_mod.KFInputs(
+                    torso_rot_mat=rot_new,
+                    torso_lin_acc_body=acc_body,
+                    torso_ang_vel_body=new_plant.omega,
+                    foot_pos_body=foot_body_new,
+                    foot_lin_vel_rel=foot_vel_rel,
+                    contacts=plan_contacts,
+                )
+                est_state, _, _ = kf_mod.update(carry.est, kf_in, sp.wts.h)
+            else:
+                ekf_in = ekf_mod.EkfInputs(
+                    torso_lin_acc_body=acc_body,
+                    torso_ang_vel_body=new_plant.omega,
+                    foot_pos_body=foot_body_new,
+                    foot_lin_vel_rel=foot_vel_rel,
+                    contacts=plan_contacts,
+                )
+                est_state, _, _ = ekf_mod.update(carry.est, ekf_in, sp.wts.h)
+                # simulated mocap (GazeboInterface kf_type=2 path): true pose
+                # + yaw, gated by mocap_on for dropout tests
+                fused = ekf_mod.mocap_update(
+                    est_state, new_plant.pos,
+                    lie.quat_to_euler(new_plant.quat)[2],
+                )
+                if mocap_on is None:
+                    est_state = fused
+                else:
+                    on = jnp.asarray(mocap_on)
+                    est_state = jax.tree.map(
+                        lambda a, b: jnp.where(on, a, b), fused, est_state
+                    )
+
+        ground_under = terrain_mod.height(tp, new_plant.pos[:2])
+        ok = safety.is_safe(new_plant.quat, fbk.joint_vel)
+        ok = ok & safety.finite_state(new_plant) & (
+            new_plant.pos[2] - ground_under > 0.05
+        )
+        alive = carry.alive & ok
+        kept_plant = jax.tree.map(
+            lambda new, old: jnp.where(alive, new, old), new_plant, ps
+        )
+        yaw = lie.quat_to_euler(kept_plant.quat)[2]
+        vel_rel = lie.rotz(yaw).T @ kept_plant.vel
+        metrics = WalkingMetrics(
+            mpc_cost=out.mpc_cost,
+            vel_err=jnp.abs(vel_rel[0] - joy.velx),
+            height_err=jnp.abs(kept_plant.pos[2] - ground_z - sp.target_height),
+            alive=alive.astype(dtype),
+        )
+        return (
+            EstWalkingCarry(
+                plant=kept_plant, goal=goal, gait=gait, feet_world=feet_world,
+                terrain_est=terr_est, est=est_state, alive=alive,
+            ),
+            metrics,
+        )
+
+    return control_step
+
+
+def init_estimated_walking_scenario(
+    wts: quat_mpc.QuatMpcWeights,
+    height: float = 0.3,
+    dtype=jnp.float32,
+    terrain=None,
+    kf_type: int = 1,
+    pattern=None,
+):
+    """Walking carry + per-kf_type estimator state. BasicKF starts at the
+    reference's canonical init (BasicKF.cpp:59-71); the EKF starts at the
+    true pose (init_filter semantics, BaseInterface.cpp:322-328)."""
+    from quaternion_mpc_tpu.est import ekf as ekf_mod
+    from quaternion_mpc_tpu.est import kf as kf_mod
+
+    base, sp = init_walking_scenario(wts, height, dtype, terrain, pattern)
+    rot = lie.quat_to_rotmat(base.plant.quat)
+    foot_body = (base.feet_world - base.plant.pos) @ rot
+    if kf_type == 1:
+        est = kf_mod.init_state(rot, foot_body, dtype=dtype)
+    elif kf_type == 2:
+        est = ekf_mod.init_state(
+            base.plant.pos, lie.quat_to_euler(base.plant.quat), foot_body
+        )
+    else:
+        est = None
+    carry = EstWalkingCarry(
+        plant=base.plant, goal=base.goal, gait=base.gait,
+        feet_world=base.feet_world, terrain_est=base.terrain_est,
+        est=est, alive=base.alive,
+    )
+    return carry, sp
+
+
+class ActuatedCarry(NamedTuple):
+    robot: "object"           # sim.articulated.ArticulatedState
+    goal: goals.GoalState
+    gait: "object"            # schedule.GaitState
+    terrain_est: "object"     # kin.terrain.TerrainState
+    alive: jnp.ndarray
+
+
+class ActuatedScenario(NamedTuple):
+    wts: quat_mpc.QuatMpcWeights
+    plant: "object"           # sim.articulated.ArticulatedParams
+    target_height: jnp.ndarray
+
+
+def make_actuated_walking_step(
+    horizon: int = 10,
+    opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=4),
+    gait_freq: float = 2.2,
+    pattern=None,
+    n_sub: int = 40,
+    per_knot_contacts: bool = True,
+):
+    """Trot closed over the JOINT-LEVEL plant: the MPC's GRFs reach the
+    robot only through the torque layer — swing legs track IK/J⁻¹ targets
+    under PD, stance legs apply τ = −Jᵀf (``control/torque.py``, reference
+    ``BaseInterface.cpp:344-408``) — and ground forces emerge from the
+    terrain contact model (`sim.articulated`), not ideal force tracking.
+    Joint positions/velocities are real feedback; foot contact is the
+    sigmoid force detector (``BaseInterface.cpp:234-249``), which also
+    drives the gait FSM's early-contact transitions.
+
+    n_sub: physics substeps per MPC tick (40 × 0.25 ms at h=10 ms = the
+    reference's 4 kHz low-level rate, LeggedParams.h:5)."""
+    from quaternion_mpc_tpu.control import torque as torque_mod
+    from quaternion_mpc_tpu.gait import raibert as raibert_mod
+    from quaternion_mpc_tpu.gait import schedule as sched_mod
+    from quaternion_mpc_tpu.kin import terrain as kterr_mod
+    from quaternion_mpc_tpu.sim import articulated as art_mod
+    from quaternion_mpc_tpu.sim import terrain as terrain_mod
+
+    if pattern is None:
+        pattern = sched_mod.trot_pattern()
+    grf_update = quat_mpc.make_controller(horizon, opts, zero_initial_omega=False)
+
+    def control_step(carry: ActuatedCarry, sp: ActuatedScenario, joy: goals.JoyCommand):
+        rs = carry.robot
+        ap = sp.plant
+        ps = rs.torso
+        dtype = ps.pos.dtype
+        tp = ap.terrain
+
+        foot_body, foot_world, foot_vel_world, J = art_mod.foot_kinematics(rs, ap)
+        f_world = art_mod.contact_forces(foot_world, foot_vel_world, ap)
+        n_vec = terrain_mod.normal(tp, foot_world[..., :2])
+        f_normal = jnp.sum(f_world * n_vec, axis=-1)
+        contact_prob = terrain_mod.contact_probability(tp, foot_world, f_normal)
+
+        fbk = RobotFeedback(
+            torso_pos_world=ps.pos,
+            torso_quat=ps.quat,
+            torso_lin_vel_world=ps.vel,
+            torso_ang_vel_body=ps.omega,
+            foot_pos_body=foot_body,
+            foot_contact=contact_prob,
+            joint_pos=rs.q.reshape(-1),
+            joint_vel=rs.dq.reshape(-1),
+        )
+
+        vel_d_rel = jnp.stack([joy.velx, joy.vely, jnp.zeros_like(joy.velx)])
+        default_rel = jnp.asarray(
+            [[0.20, 0.14, -0.3], [0.20, -0.14, -0.3],
+             [-0.20, 0.14, -0.3], [-0.20, -0.14, -0.3]], dtype=dtype)
+        target_world, _ = raibert_mod.foothold_targets(
+            ps.pos, ps.quat, ps.vel, vel_d_rel, default_rel, gait_freq
+        )
+        target_world = terrain_mod.snap_to_ground(tp, target_world)
+
+        gait = sched_mod.gait_update(
+            carry.gait, pattern, sp.wts.h, jnp.asarray(gait_freq, dtype),
+            foot_world, target_world, contact_prob > 0.5,
+        )
+        plan_contacts = sched_mod.contact_flags(gait, pattern).astype(dtype)
+        mpc_contacts = plan_contacts
+        if per_knot_contacts:
+            mpc_contacts = sched_mod.predict_contact_schedule(
+                gait, pattern, jnp.asarray(gait_freq, dtype), sp.wts.h, horizon + 1
+            ).astype(dtype)
+
+        goal, cmd = goals.goal_update(carry.goal, fbk, joy, mpc_contacts, dt=sp.wts.h)
+        n_stance = jnp.maximum(jnp.sum(plan_contacts), 1.0)
+        ground_z = jnp.sum(foot_world[:, 2] * plan_contacts) / n_stance
+        cmd = cmd._replace(
+            pos_body_d=cmd.pos_body_d.at[2].set(
+                ground_z + sp.target_height - ps.pos[2]
+            )
+        )
+        terr_est, pitch_d = kterr_mod.terrain_update(
+            carry.terrain_est,
+            foot_world - ps.pos,
+            movement_mode=1,
+            torso_height=ps.pos[2] - ground_z,
+            contact_weights=plan_contacts,
+        )
+        eul_d = lie.quat_to_euler(cmd.quat_d)
+        cmd = cmd._replace(
+            quat_d=lie.euler_to_quat(
+                jnp.stack([eul_d[0], eul_d[1] + pitch_d, eul_d[2]])
+            )
+        )
+
+        out, _sol = grf_update(fbk, cmd, sp.wts)
+        # feed the FSM's swing targets into the low-level layer
+        out = out._replace(
+            grf_body=out.grf_body * plan_contacts[:, None],
+            foot_pos_target_world=gait.target_pos,
+            foot_vel_target_world=gait.target_vel,
+        )
+        targets = torque_mod.tau_ctrl_update(fbk, out, ap.rho_fix, plan_contacts)
+
+        # stance legs: pure torque + joint damping (position PD off, the
+        # Unitree stance convention); swing legs: full PD tracking
+        kp_leg = ap.kp_joint * (1.0 - plan_contacts)[:, None]
+        ap_tick = ap._replace(kp_joint=kp_leg)
+        new_robot = art_mod.step(rs, targets, ap_tick, sp.wts.h, n_sub)
+
+        ground_under = terrain_mod.height(tp, new_robot.torso.pos[:2])
+        ok = safety.is_safe(new_robot.torso.quat, new_robot.dq.reshape(-1))
+        ok = ok & safety.finite_state(new_robot.torso) & (
+            new_robot.torso.pos[2] - ground_under > 0.05
+        )
+        alive = carry.alive & ok
+        kept_robot = jax.tree.map(
+            lambda new, old: jnp.where(alive, new, old), new_robot, rs
+        )
+
+        yaw = lie.quat_to_euler(kept_robot.torso.quat)[2]
+        vel_rel = lie.rotz(yaw).T @ kept_robot.torso.vel
+        metrics = WalkingMetrics(
+            mpc_cost=out.mpc_cost,
+            vel_err=jnp.abs(vel_rel[0] - joy.velx),
+            height_err=jnp.abs(
+                kept_robot.torso.pos[2] - ground_z - sp.target_height
+            ),
+            alive=alive.astype(dtype),
+        )
+        return (
+            ActuatedCarry(
+                robot=kept_robot, goal=goal, gait=gait,
+                terrain_est=terr_est, alive=alive,
+            ),
+            metrics,
+        )
+
+    return control_step
+
+
+def init_actuated_scenario(
+    wts: quat_mpc.QuatMpcWeights,
+    height: float = 0.3,
+    dtype=jnp.float32,
+    terrain=None,
+    pattern=None,
+    start_x: float = 0.0,
+):
+    from quaternion_mpc_tpu.gait import schedule as sched_mod
+    from quaternion_mpc_tpu.kin import terrain as kterr_mod
+    from quaternion_mpc_tpu.sim import articulated as art_mod
+    from quaternion_mpc_tpu.sim import terrain as terrain_mod
+
+    if terrain is None:
+        terrain = terrain_mod.make_terrain("flat", dtype=dtype)
+    ap = art_mod.default_params(
+        wts.mass, wts.inertia, wts.com_offset, wts.trunk_mass, terrain, dtype
+    )
+    rs = art_mod.init_state(height=height, rho_fix=ap.rho_fix, dtype=dtype)
+    rs = rs._replace(
+        torso=rs.torso._replace(pos=rs.torso.pos.at[0].set(start_x))
+    )
+    foot_body, foot_world, _, _ = art_mod.foot_kinematics(rs, ap)
+    fbk = feedback_from_plant(rs.torso, foot_body)
+    if pattern is None:
+        pattern = sched_mod.trot_pattern()
+    carry = ActuatedCarry(
+        robot=rs,
+        goal=goals.init_goal_state(fbk),
+        gait=sched_mod.init_gait_state(foot_world, pattern),
+        terrain_est=kterr_mod.init_terrain_state(dtype=dtype),
+        alive=jnp.asarray(True),
+    )
+    sp = ActuatedScenario(
+        wts=wts, plant=ap, target_height=jnp.asarray(height, dtype)
+    )
+    return carry, sp
+
+
 def make_fleet_standing_step(
     horizon: int = 10,
     opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=5),
     plant_substeps: int = 2,
     zero_initial_omega: bool = False,
+    controller: str = "quat",
 ):
     """Fleet-native standing step: batch-LEADING (carry, sp, joy) pytrees,
     but the MPC solve runs through the batch-last fleet solver (the ~8x
@@ -442,9 +976,7 @@ def make_fleet_standing_step(
     goal/plant/safety stages stay vmapped per-scenario functions, so the
     behavior matches `vmap(make_standing_step(...))` exactly up to solver
     fp ordering (same corrected zero_initial_omega=False default)."""
-    fleet_grf = quat_mpc.make_fleet_controller(
-        horizon, opts, zero_initial_omega=zero_initial_omega, return_body=True
-    )
+    fleet_grf = _make_fleet_grf(controller, horizon, opts, zero_initial_omega)
 
     def pre(carry: ScenarioCarry, sp: ScenarioParams, joy: goals.JoyCommand):
         fbk = feedback_from_plant(carry.plant, sp.plant_params.foot_pos_body)
@@ -487,6 +1019,8 @@ def make_fleet_walking_step(
     opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=4),
     gait_freq: float = 2.2,
     pattern=None,
+    per_knot_contacts: bool = True,
+    controller: str = "quat",
 ):
     """Fleet-native trot step: gait/kinematics/Raibert stages vmapped, the
     MPC solve through the batch-last fleet solver (see
@@ -494,12 +1028,12 @@ def make_fleet_walking_step(
     from quaternion_mpc_tpu.gait import raibert as raibert_mod
     from quaternion_mpc_tpu.gait import schedule as sched_mod
     from quaternion_mpc_tpu.kin import leg as leg_mod
+    from quaternion_mpc_tpu.kin import terrain as kterr_mod
+    from quaternion_mpc_tpu.sim import terrain as terrain_mod
 
     if pattern is None:
         pattern = sched_mod.trot_pattern()
-    fleet_grf = quat_mpc.make_fleet_controller(
-        horizon, opts, zero_initial_omega=False, return_body=True
-    )
+    fleet_grf = _make_fleet_grf(controller, horizon, opts, zero_initial_omega=False)
 
     def pre(carry: WalkingCarry, sp: ScenarioParams, joy: goals.JoyCommand):
         ps = carry.plant
@@ -526,19 +1060,45 @@ def make_fleet_walking_step(
         target_world, _ = raibert_mod.foothold_targets(
             ps.pos, ps.quat, ps.vel, vel_d_rel, default_rel, gait_freq
         )
-        target_world = target_world.at[:, 2].set(0.0)
+        tp = sp.terrain if sp.terrain is not None else terrain_mod.make_terrain(
+            "flat", dtype=dtype
+        )
+        target_world = terrain_mod.snap_to_ground(tp, target_world)
         gait = sched_mod.gait_update(
             carry.gait, pattern, sp.wts.h, jnp.asarray(gait_freq, dtype),
             carry.feet_world, target_world, contacts_now > 0.5,
         )
         plan_contacts = sched_mod.contact_flags(gait, pattern).astype(dtype)
-        goal, cmd = goals.goal_update(carry.goal, fbk, joy, plan_contacts, dt=sp.wts.h)
+        mpc_contacts = plan_contacts
+        if per_knot_contacts:
+            mpc_contacts = sched_mod.predict_contact_schedule(
+                gait, pattern, jnp.asarray(gait_freq, dtype), sp.wts.h, horizon + 1
+            ).astype(dtype)
+        goal, cmd = goals.goal_update(carry.goal, fbk, joy, mpc_contacts, dt=sp.wts.h)
+        n_stance = jnp.maximum(jnp.sum(plan_contacts), 1.0)
+        ground_z = jnp.sum(carry.feet_world[:, 2] * plan_contacts) / n_stance
         cmd = cmd._replace(
-            pos_body_d=cmd.pos_body_d.at[2].set(sp.target_height - ps.pos[2])
+            pos_body_d=cmd.pos_body_d.at[2].set(
+                ground_z + sp.target_height - ps.pos[2]
+            )
         )
-        return fbk, cmd, goal, gait, plan_contacts, foot_pos_body
+        terr_est, pitch_d = kterr_mod.terrain_update(
+            carry.terrain_est,
+            carry.feet_world - ps.pos,
+            movement_mode=1,
+            torso_height=ps.pos[2] - ground_z,
+            contact_weights=plan_contacts,
+        )
+        eul_d = lie.quat_to_euler(cmd.quat_d)
+        cmd = cmd._replace(
+            quat_d=lie.euler_to_quat(
+                jnp.stack([eul_d[0], eul_d[1] + pitch_d, eul_d[2]])
+            )
+        )
+        return fbk, cmd, goal, gait, plan_contacts, foot_pos_body, terr_est, ground_z
 
-    def post(carry, sp, joy, goal, gait, plan_contacts, foot_pos_body, grf_body, cost):
+    def post(carry, sp, joy, goal, gait, plan_contacts, foot_pos_body, terr_est,
+             ground_z, grf_body, cost):
         ps = carry.plant
         dtype = ps.pos.dtype
         f_body = grf_body * plan_contacts[:, None]
@@ -547,8 +1107,14 @@ def make_fleet_walking_step(
         feet_world = jnp.where(
             plan_contacts[:, None] > 0.5, carry.feet_world, gait.target_pos
         )
+        tp = sp.terrain if sp.terrain is not None else terrain_mod.make_terrain(
+            "flat", dtype=dtype
+        )
+        ground_under = terrain_mod.height(tp, new_plant.pos[:2])
         ok = safety.is_safe(new_plant.quat, jnp.zeros((12,), dtype))
-        ok = ok & safety.finite_state(new_plant) & (new_plant.pos[2] > 0.05)
+        ok = ok & safety.finite_state(new_plant) & (
+            new_plant.pos[2] - ground_under > 0.05
+        )
         alive = carry.alive & ok
         kept_plant = jax.tree.map(
             lambda new, old: jnp.where(alive, new, old), new_plant, ps
@@ -558,22 +1124,22 @@ def make_fleet_walking_step(
         metrics = WalkingMetrics(
             mpc_cost=cost,
             vel_err=jnp.abs(vel_rel[0] - joy.velx),
-            height_err=jnp.abs(kept_plant.pos[2] - sp.target_height),
+            height_err=jnp.abs(kept_plant.pos[2] - ground_z - sp.target_height),
             alive=alive.astype(dtype),
         )
         return (
             WalkingCarry(plant=kept_plant, goal=goal, gait=gait,
-                         feet_world=feet_world, alive=alive),
+                         feet_world=feet_world, alive=alive, terrain_est=terr_est),
             metrics,
         )
 
     def fleet_step(carry, sp, joy):
-        fbk, cmd, goal, gait, plan_contacts, foot_pos_body = jax.vmap(pre)(
-            carry, sp, joy
-        )
+        (fbk, cmd, goal, gait, plan_contacts, foot_pos_body, terr_est,
+         ground_z) = jax.vmap(pre)(carry, sp, joy)
         _, grf_body, cost = fleet_grf(fbk, cmd, sp.wts)
         return jax.vmap(post)(
-            carry, sp, joy, goal, gait, plan_contacts, foot_pos_body, grf_body, cost
+            carry, sp, joy, goal, gait, plan_contacts, foot_pos_body, terr_est,
+            ground_z, grf_body, cost
         )
 
     return fleet_step

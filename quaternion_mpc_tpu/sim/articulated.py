@@ -1,0 +1,225 @@
+"""Joint-level actuated plant: torso SRB + four 3-DoF legs driven by joint
+torques, feet interacting with the terrain through a penetration
+spring-damper contact model.
+
+This is the tier where the low-level control stack actually earns its keep —
+the closed loop applies MPC GRFs only through the torque layer
+(``control/torque.py``: swing IK targets + PD, stance τ = −Jᵀf — the
+reference's 4 kHz path, ``BaseInterface.cpp:344-408`` +
+``unitree_legged_control/src/joint_controller.cpp:15-229``), and ground
+reaction forces emerge from contact physics instead of being realized
+ideally. Role parity with Gazebo + the ros_control effort plugin
+(``unitree_gazebo/``), built batched/jittable so a fleet of articulated
+robots integrates on-device.
+
+Model tier (documented approximations):
+- torso: full SRB (gyroscopic term kept) forced by the contact forces at
+  the world-frame foot points;
+- legs: each a 3-DoF Lagrangian chain (`kin.leg_dynamics`: autodiff mass
+  matrix + bias forces, Go1 URDF link parameters) integrated in the torso
+  frame; base-motion inertial coupling into the leg chains is neglected
+  (legs ≈ 12% of total mass) but leg gravity follows the true attitude and
+  contact forces enter the joints through Jᵀ;
+- contact: compliant ground — normal spring-damper on terrain penetration
+  (one-sided), tangential viscous friction clamped to the Coulomb cone μ·fn.
+  Same role as Gazebo's ODE contact (kp/kd surface params).
+
+Integration: semi-implicit Euler at a fixed substep (default 4 kHz, the
+reference's low-level rate, ``LeggedParams.h:5``) inside a `lax.scan`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from quaternion_mpc_tpu.control.torque import JointTargets, pd_torque
+from quaternion_mpc_tpu.kin import leg as leg_mod
+from quaternion_mpc_tpu.kin import leg_dynamics as ld
+from quaternion_mpc_tpu.ops import lie
+from quaternion_mpc_tpu.sim import plant as plant_mod
+from quaternion_mpc_tpu.sim import terrain as terrain_mod
+
+
+class ArticulatedParams(NamedTuple):
+    torso: plant_mod.PlantParams       # foot_pos_body field unused here
+    rho_fix: jnp.ndarray               # (4, 5) per-leg kinematic params
+    leg_params: ld.LegLinkParams       # stacked (4, ...) link params
+    terrain: terrain_mod.TerrainParams
+    contact_kp: jnp.ndarray            # normal spring [N/m]
+    contact_kd: jnp.ndarray            # normal damper [N·s/m]
+    contact_kt: jnp.ndarray            # tangential viscous gain [N·s/m]
+    mu: jnp.ndarray                    # Coulomb friction coefficient
+    kp_joint: jnp.ndarray              # (3,) or (4,3) PD gains (send law)
+    kd_joint: jnp.ndarray
+    tau_max: jnp.ndarray               # actuator torque limit [N·m]
+
+
+class ArticulatedState(NamedTuple):
+    torso: plant_mod.PlantState
+    q: jnp.ndarray    # (4, 3) joint angles
+    dq: jnp.ndarray   # (4, 3) joint velocities
+
+
+def default_params(
+    wts_mass, wts_inertia, com_offset, com_mass,
+    terrain: terrain_mod.TerrainParams,
+    dtype=jnp.float32,
+) -> ArticulatedParams:
+    """Go1 articulated plant. Contact stiffness sized for ~2 mm static
+    penetration (kp = 30 kN/m vs ~63 N/foot standing); joint PD from the
+    reference's Gazebo swing gains (kp_foot scale, LeggedState.cpp defaults);
+    τ limit 33.5 N·m (Go1 joint spec, go1.urdf effort limits)."""
+    return ArticulatedParams(
+        torso=plant_mod.PlantParams(
+            mass=jnp.asarray(wts_mass, dtype),
+            inertia=jnp.asarray(wts_inertia, dtype),
+            com_offset=jnp.asarray(com_offset, dtype),
+            com_mass=jnp.asarray(com_mass, dtype),
+            foot_pos_body=jnp.zeros((4, 3), dtype),
+        ),
+        rho_fix=leg_mod.go1_rho_fix(dtype),
+        leg_params=_go1_leg_params_all(dtype),
+        terrain=terrain,
+        contact_kp=jnp.asarray(30000.0, dtype),
+        contact_kd=jnp.asarray(300.0, dtype),
+        contact_kt=jnp.asarray(500.0, dtype),
+        mu=jnp.asarray(0.7, dtype),
+        kp_joint=jnp.asarray([80.0, 80.0, 90.0], dtype),
+        kd_joint=jnp.asarray([2.0, 2.0, 2.5], dtype),
+        tau_max=jnp.asarray(33.5, dtype),
+    )
+
+
+def _go1_leg_params_all(dtype):
+    legs = [
+        ld.go1_leg_params(mirror_y=False, dtype=dtype),  # FL
+        ld.go1_leg_params(mirror_y=True, dtype=dtype),   # FR
+        ld.go1_leg_params(mirror_y=False, dtype=dtype),  # RL
+        ld.go1_leg_params(mirror_y=True, dtype=dtype),   # RR
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *legs)
+
+
+def init_state(
+    height: float = 0.3,
+    foot_pos_body=None,
+    rho_fix=None,
+    dtype=jnp.float32,
+) -> ArticulatedState:
+    """Start standing: joints at the IK of the default stance."""
+    if rho_fix is None:
+        rho_fix = leg_mod.go1_rho_fix(dtype)
+    if foot_pos_body is None:
+        foot_pos_body = jnp.asarray(
+            [[0.20, 0.14, -height], [0.20, -0.14, -height],
+             [-0.20, 0.14, -height], [-0.20, -0.14, -height]], dtype)
+    q = leg_mod.ik(jnp.asarray(foot_pos_body, dtype), rho_fix)
+    return ArticulatedState(
+        torso=plant_mod.init_state(height=height, dtype=dtype),
+        q=q,
+        dq=jnp.zeros_like(q),
+    )
+
+
+def foot_kinematics(s: ArticulatedState, p: ArticulatedParams):
+    """World-frame foot positions and velocities from the joint state.
+
+    foot_world = p_torso + R·fk(q);  v_foot = v + R(ω × fk(q) + J·dq).
+    Returns (foot_body (4,3), foot_world (4,3), foot_vel_world (4,3), J (4,3,3)).
+    """
+    rot = lie.quat_to_rotmat(s.torso.quat)
+    foot_body = leg_mod.fk(s.q, p.rho_fix)
+    J = leg_mod.jac(s.q, p.rho_fix)
+    foot_world = s.torso.pos + foot_body @ rot.T
+    v_rel_body = jnp.cross(
+        jnp.broadcast_to(s.torso.omega, foot_body.shape), foot_body
+    ) + jnp.einsum("lij,lj->li", J, s.dq)
+    foot_vel_world = s.torso.vel + v_rel_body @ rot.T
+    return foot_body, foot_world, foot_vel_world, J
+
+
+def contact_forces(foot_world, foot_vel_world, p: ArticulatedParams):
+    """World-frame ground reaction per foot (4, 3): one-sided normal
+    spring-damper on penetration + tangential viscous friction clamped to
+    the Coulomb cone. Normal from the terrain field (slope-aware)."""
+    n = terrain_mod.normal(p.terrain, foot_world[..., :2])     # (4, 3)
+    pen = terrain_mod.penetration(p.terrain, foot_world)        # (4,)
+    v_n = jnp.sum(foot_vel_world * n, axis=-1)                  # (4,)
+    fn = p.contact_kp * pen - p.contact_kd * v_n
+    fn = jnp.where(pen > 0.0, jnp.maximum(fn, 0.0), 0.0)        # one-sided
+    v_t = foot_vel_world - v_n[:, None] * n
+    ft = -p.contact_kt * v_t
+    ft_norm = jnp.linalg.norm(ft, axis=-1, keepdims=True)
+    scale = jnp.minimum(1.0, p.mu * fn[:, None] / jnp.maximum(ft_norm, 1e-9))
+    return fn[:, None] * n + ft * scale
+
+
+def substep(s: ArticulatedState, targets: JointTargets, p: ArticulatedParams, dt):
+    """One physics substep under the explicit PD+τff send law (the Gazebo
+    joint controller evaluated at sim rate against zero-order-hold targets,
+    ``GazeboInterface.cpp:116-124``)."""
+    rot = lie.quat_to_rotmat(s.torso.quat)
+    foot_body, foot_world, foot_vel_world, J = foot_kinematics(s, p)
+    f_world = contact_forces(foot_world, foot_vel_world, p)     # (4, 3)
+    f_body = f_world @ rot                                      # rows Rᵀ f
+
+    # actuator torque: explicit PD + feedforward, clamped (PowerProtect analog)
+    tau = pd_torque(targets, s.q, s.dq, p.kp_joint, p.kd_joint)
+    tau = jnp.clip(tau, -p.tau_max, p.tau_max)
+
+    # leg chains: M(q)·q̈ = τ − c(q, q̇) + Jᵀ f_body (leg gravity via true attitude)
+    g_body = rot.T @ jnp.array([0.0, 0.0, -plant_mod.GRAVITY], dtype=s.q.dtype)
+
+    def leg_acc(qi, dqi, taui, fi, Ji, rho_i, params_i):
+        M = ld.mass_matrix(qi, rho_i, params_i)
+        c = ld.bias_forces(qi, dqi, rho_i, params_i, g_body)
+        rhs = taui - c + Ji.T @ fi
+        return jnp.linalg.solve(M, rhs)
+
+    ddq = jax.vmap(leg_acc)(
+        s.q, s.dq, tau, f_body, J, p.rho_fix, p.leg_params
+    )
+
+    # torso SRB forced by the contact forces at the foot points
+    tp = p.torso._replace(foot_pos_body=foot_body)
+    deriv = plant_mod.dynamics(s.torso, f_body, tp)
+
+    # semi-implicit Euler: velocities first, then positions with new velocities
+    dq_new = s.dq + dt * ddq
+    vel_new = s.torso.vel + dt * deriv.vel
+    omega_new = s.torso.omega + dt * deriv.omega
+    q_new = s.q + dt * dq_new
+    pos_new = s.torso.pos + dt * vel_new
+    quat_new = lie.quat_normalize(
+        s.torso.quat + dt * 0.5 * (lie.quat_G(s.torso.quat) @ omega_new)
+    )
+    return ArticulatedState(
+        torso=plant_mod.PlantState(
+            pos=pos_new, quat=quat_new, vel=vel_new, omega=omega_new
+        ),
+        q=q_new,
+        dq=dq_new,
+    )
+
+
+def step(
+    s: ArticulatedState,
+    targets: JointTargets,
+    p: ArticulatedParams,
+    dt_ctrl,
+    n_sub: int = 40,
+) -> ArticulatedState:
+    """Integrate one control period (default: 40 × 0.25 ms = one 10 ms MPC
+    tick at the reference's 4 kHz low-level rate) with zero-order-hold
+    joint targets; PD is re-evaluated against the live joint state every
+    substep, exactly like the ros_control effort plugin."""
+    dt = dt_ctrl / n_sub
+
+    def body(state, _):
+        return substep(state, targets, p, dt), None
+
+    out, _ = jax.lax.scan(body, s, None, length=n_sub)
+    return out

@@ -85,9 +85,9 @@ def _terminal_expansion(xN, cost: CostSpec, spec: ModelSpec, prob=None, lamN=Non
         att = jnp.arange(spec.quat_idx, spec.quat_idx + 3)
         lxxN = lxxN.at[att, att].add(corrN)
     if prob is not None and prob.Cx is not None:
-        c = prob.Cx @ xN + prob.cb
+        c = prob.Cx @ xN + _cb_at(prob.cb, -1)
         lam_bar = jnp.maximum(0.0, lamN + rho * c)
-        active = (lamN + rho * c) > 0.0
+        active = (lamN + rho * c) >= 0.0
         CxE = prob.Cx @ EN
         lxN = lxN + CxE.T @ lam_bar
         lxxN = lxxN + rho * (CxE.T * active[None, :]) @ CxE
@@ -117,11 +117,18 @@ def _discrete_step(spec: ModelSpec, x, u, params, h):
 # ---------------------------------------------------------------------------
 
 
+def _cb_at(cb, k):
+    """Per-knot constraint offset: cb may be (nc,) shared across the horizon
+    or (N+1, nc) time-varying (per-knot contact gating of the friction cone,
+    the schedule the reference's ConvexMpc.cpp:82 TODO never wired)."""
+    return cb if cb.ndim == 1 else cb[k]
+
+
 def make_solver(spec: ModelSpec, opts: SolverOptions = SolverOptions()):
     """Build a jittable single-problem solver; `jax.vmap` it for fleets."""
 
-    def constraint_val(prob, x, u):
-        c = prob.Cu @ u + prob.cb
+    def constraint_val(prob, x, u, k):
+        c = prob.Cu @ u + _cb_at(prob.cb, k)
         if prob.Cx is not None:
             c = c + prob.Cx @ x
         return c
@@ -135,7 +142,7 @@ def make_solver(spec: ModelSpec, opts: SolverOptions = SolverOptions()):
             val, _, _ = _quat_cost_terms(xs[k], kc.Qd, kc.w, kc.x_ref, spec.quat_idx)
             du = us[k] - kc.u_ref
             val = val + 0.5 * jnp.sum(kc.Rd * du * du)
-            c = constraint_val(prob, xs[k], us[k])
+            c = constraint_val(prob, xs[k], us[k], k)
             return val + _al_penalty(c, lam[k], rho)
 
         stage_costs = jax.vmap(stage)(jnp.arange(N))
@@ -144,7 +151,7 @@ def make_solver(spec: ModelSpec, opts: SolverOptions = SolverOptions()):
             xs[N], Qdf, _w_at(cost.w, -1), cost.x_ref[N], spec.quat_idx
         )
         if prob.Cx is not None:
-            cN = prob.Cx @ xs[N] + prob.cb
+            cN = prob.Cx @ xs[N] + _cb_at(prob.cb, N)
             term_val = term_val + _al_penalty(cN, lam[N], rho)
         return jnp.sum(stage_costs) + term_val
 
@@ -215,9 +222,9 @@ def make_solver(spec: ModelSpec, opts: SolverOptions = SolverOptions()):
                     lxx = lxx.at[att, att].add(corr)
                 lu = kc.Rd * (us[k] - kc.u_ref)
                 luu = jnp.diag(kc.Rd)
-                c = constraint_val(prob, xs[k], us[k])
+                c = constraint_val(prob, xs[k], us[k], k)
                 lam_bar = jnp.maximum(0.0, lam[k] + rho * c)
-                active = (lam[k] + rho * c) > 0.0
+                active = (lam[k] + rho * c) >= 0.0
                 lu = lu + prob.Cu.T @ lam_bar
                 luu = luu + rho * (prob.Cu.T * active[None, :]) @ prob.Cu
                 lux = jnp.zeros((spec.nu, spec.ne), dtype=xs.dtype)
@@ -326,10 +333,12 @@ def make_solver(spec: ModelSpec, opts: SolverOptions = SolverOptions()):
                 length=opts.ilqr_iterations,
             )
             xs, us, lam, rho, reg, J, _, n_inner, gnorm = state
-            cvals = jax.vmap(lambda x, u: constraint_val(prob, x, u))(xs[:-1], us)
+            cvals = jax.vmap(lambda x, u, k: constraint_val(prob, x, u, k))(
+                xs[:-1], us, jnp.arange(us.shape[0])
+            )
             lam = lam.at[:-1].set(jnp.maximum(0.0, lam[:-1] + rho * cvals))
             if prob.Cx is not None:
-                cN = prob.Cx @ xs[-1] + prob.cb
+                cN = prob.Cx @ xs[-1] + _cb_at(prob.cb, -1)
                 lam = lam.at[-1].set(jnp.maximum(0.0, lam[-1] + rho * cN))
             rho = rho * opts.penalty_scaling
             return (xs, us, lam, rho, reg, total_iters + n_inner, gnorm), None
@@ -338,7 +347,9 @@ def make_solver(spec: ModelSpec, opts: SolverOptions = SolverOptions()):
         carry, _ = jax.lax.scan(al_body, carry, None, length=opts.al_iterations)
         xs, us, lam, rho, reg, total_iters, gnorm = carry
 
-        cvals = jax.vmap(lambda x, u: constraint_val(prob, x, u))(xs[:-1], us)
+        cvals = jax.vmap(lambda x, u, k: constraint_val(prob, x, u, k))(
+            xs[:-1], us, jnp.arange(us.shape[0])
+        )
         viol = (
             jnp.max(jnp.maximum(cvals, 0.0)) if nc > 0 else jnp.zeros((), dtype)
         )

@@ -188,11 +188,21 @@ class FleetProblem(NamedTuple):
     Rd: jnp.ndarray
     w: jnp.ndarray
     Cu: jnp.ndarray
-    cb: jnp.ndarray
+    cb: jnp.ndarray  # (nc, B) shared, or (N+1, nc, B) per-knot contact gating
     h: jnp.ndarray
     params: object
     us_init: jnp.ndarray
     Qdf: Optional[jnp.ndarray] = None  # terminal state weight (None -> Qd)
+
+
+def cb_knots(cb: jnp.ndarray, n_knots: int) -> jnp.ndarray:
+    """Normalize the constraint offset to per-knot (n_knots, nc, B): a shared
+    (nc, B) cb broadcasts; a time-varying (N+1, nc, B) cb (per-knot contact
+    schedule, the reference's ConvexMpc.cpp:82 TODO) is sliced to the stage
+    knots."""
+    if cb.ndim == 3:
+        return cb[:n_knots]
+    return jnp.broadcast_to(cb[None], (n_knots,) + cb.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -349,14 +359,15 @@ def al_value(c, lam, rho):
 def total_cost(spec, xs, us, prob, lam, rho):
     qi = spec.quat_idx
 
-    def knot(k_x, k_u, k_xr, k_ur, k_lam):
-        c = bmv(prob.Cu, k_u) + prob.cb
+    def knot(k_x, k_u, k_xr, k_ur, k_lam, k_cb):
+        c = bmv(prob.Cu, k_u) + k_cb
         return stage_cost_terms(spec, k_x, k_u, k_xr, k_ur, prob) + al_value(
             c, k_lam, rho
         )
 
-    stage = jax.vmap(knot, in_axes=(0, 0, 0, 0, 0))(
-        xs[:-1], us, prob.x_ref[:-1], prob.u_ref[:-1], lam
+    stage = jax.vmap(knot)(
+        xs[:-1], us, prob.x_ref[:-1], prob.u_ref[:-1], lam,
+        cb_knots(prob.cb, us.shape[0]),
     )
     kN = xs.shape[0] - 1
     dxN = xs[kN] - prob.x_ref[kN]
@@ -368,7 +379,7 @@ def total_cost(spec, xs, us, prob, lam, rho):
     return jnp.sum(stage, axis=0) + term
 
 
-def cost_expansion(spec, x, u, x_ref, u_ref, lam, rho, prob):
+def cost_expansion(spec, x, u, x_ref, u_ref, lam, rho, prob, cb):
     qi, ne = spec.quat_idx, spec.ne
     g = prob.Qd * (x - x_ref)  # (nx, B)
     corr = None
@@ -390,9 +401,9 @@ def cost_expansion(spec, x, u, x_ref, u_ref, lam, rho, prob):
         lxx = lxx + _att_diag_mask(qi, ne, x.dtype) * corr
     lu = prob.Rd * (u - u_ref)
     luu = _eye(spec.nu, x.dtype)[..., None] * prob.Rd[None, :, :]
-    c = bmv(prob.Cu, u) + prob.cb
+    c = bmv(prob.Cu, u) + cb
     lam_bar = jnp.maximum(0.0, lam + rho * c)
-    active = ((lam + rho * c) > 0.0).astype(x.dtype)
+    active = ((lam + rho * c) >= 0.0).astype(x.dtype)
     lu = lu + bmv(bt(prob.Cu), lam_bar)
     luu = luu + rho * bmm(bt(prob.Cu) * active[None, :, :], prob.Cu)
     return lx, lxx, lu, luu
@@ -422,7 +433,7 @@ def terminal_expansion(spec, xN, prob):
     return lx, lxx
 
 
-def riccati_step(spec, prob, carry, x, x1, u, x_ref, u_ref, k_lam, rho, reg):
+def riccati_step(spec, prob, carry, x, x1, u, x_ref, u_ref, k_lam, k_cb, rho, reg):
     """One fused expansion + Riccati knot update. carry = (Vx, Vxx)."""
     qi, ne = spec.quat_idx, spec.ne
     eye_u = _eye(spec.nu, x.dtype)[..., None]
@@ -432,7 +443,9 @@ def riccati_step(spec, prob, carry, x, x1, u, x_ref, u_ref, k_lam, rho, reg):
     E1 = _error_proj_bl(x1, qi, ne)
     A = bmm(bt(E1), bmm(Ad, E0))
     B_ = bmm(bt(E1), Bd)
-    lx, lxx, lu, luu = cost_expansion(spec, x, u, x_ref, u_ref, k_lam, rho, prob)
+    lx, lxx, lu, luu = cost_expansion(
+        spec, x, u, x_ref, u_ref, k_lam, rho, prob, k_cb
+    )
     AtV = bmm(bt(A), Vxx)
     BtV = bmm(bt(B_), Vxx)
     Qx = lx + bmv(bt(A), Vx)
@@ -457,6 +470,7 @@ def riccati_backward(spec, prob, xs, us, lam, rho, reg, unroll: bool = False):
     never round-trip through HBM. `unroll=True` replaces the scan with a
     Python loop (required inside the Pallas kernel)."""
     lxN, lxxN = terminal_expansion(spec, xs[xs.shape[0] - 1], prob)
+    cbs = cb_knots(prob.cb, us.shape[0])
     if unroll:
         N = us.shape[0]
         carry = (lxN, lxxN)
@@ -464,7 +478,7 @@ def riccati_backward(spec, prob, xs, us, lam, rho, reg, unroll: bool = False):
         for k in reversed(range(N)):
             carry, (K, d, dV1, dV2, g) = riccati_step(
                 spec, prob, carry, xs[k], xs[k + 1], us[k],
-                prob.x_ref[k], prob.u_ref[k], lam[k], rho, reg,
+                prob.x_ref[k], prob.u_ref[k], lam[k], cbs[k], rho, reg,
             )
             Ks[k], ds[k] = K, d
             dV1s.append(dV1)
@@ -479,13 +493,15 @@ def riccati_backward(spec, prob, xs, us, lam, rho, reg, unroll: bool = False):
         )
 
     def step(carry, inp):
-        x, x1, u, x_ref, u_ref, k_lam = inp
-        return riccati_step(spec, prob, carry, x, x1, u, x_ref, u_ref, k_lam, rho, reg)
+        x, x1, u, x_ref, u_ref, k_lam, k_cb = inp
+        return riccati_step(
+            spec, prob, carry, x, x1, u, x_ref, u_ref, k_lam, k_cb, rho, reg
+        )
 
     (_, _), (Ks, ds, dV1s, dV2s, gs) = jax.lax.scan(
         step,
         (lxN, lxxN),
-        (xs[:-1], xs[1:], us, prob.x_ref[:-1], prob.u_ref[:-1], lam),
+        (xs[:-1], xs[1:], us, prob.x_ref[:-1], prob.u_ref[:-1], lam, cbs),
         reverse=True,
     )
     return Ks, ds, jnp.sum(dV1s, axis=0), jnp.sum(dV2s, axis=0), jnp.max(gs, axis=0)
@@ -498,17 +514,20 @@ def knot_expansions(spec, prob, xs, us, lam, rho):
     qi, ne = spec.quat_idx, spec.ne
     kN = xs.shape[0] - 1
 
-    def knot(x, x1, u, x_ref, u_ref, k_lam):
+    def knot(x, x1, u, x_ref, u_ref, k_lam, k_cb):
         Ad, Bd = _fleet_discrete_jac(spec, x, u, prob.params, prob.h)
         E0 = _error_proj_bl(x, qi, ne)
         E1 = _error_proj_bl(x1, qi, ne)
         A = bmm(bt(E1), bmm(Ad, E0))
         B_ = bmm(bt(E1), Bd)
-        lx, lxx, lu, luu = cost_expansion(spec, x, u, x_ref, u_ref, k_lam, rho, prob)
+        lx, lxx, lu, luu = cost_expansion(
+            spec, x, u, x_ref, u_ref, k_lam, rho, prob, k_cb
+        )
         return A, B_, lx, lxx, lu, luu
 
     return jax.vmap(knot)(
-        xs[:kN], xs[1:], us, prob.x_ref[:kN], prob.u_ref[:kN], lam
+        xs[:kN], xs[1:], us, prob.x_ref[:kN], prob.u_ref[:kN], lam,
+        cb_knots(prob.cb, us.shape[0]),
     )
 
 
@@ -533,12 +552,15 @@ def make_fleet_solver(
 ):
     """Returns solve(prob: FleetProblem) -> FleetSolution, fully batch-last.
 
-    backend: "xla" | "pallas" | "pallas_interpret" | "auto".
+    backend: "xla" | "pallas" | "pallas_interpret" | "assoc" | "auto".
     Measured on v5e (B=4096, N=10): the Pallas Riccati-sweep kernel runs at
     PARITY with the XLA path (89.4 vs 89.7 ms full solve) — the mul+sum
     contraction form already lets XLA fuse the whole backward pass — so
     "auto" resolves to the fixture-exact XLA path; "pallas" opts into the
     kernel (same algorithm, op order differs -> f32 iterate drift).
+    "assoc" replaces the sequential Riccati recursion with the O(log N)
+    associative-scan backward pass (solver/parallel_riccati.py) — the
+    horizon-parallel variant for long horizons / small batches.
     """
     qi = spec.quat_idx
     ne = spec.ne
@@ -554,13 +576,19 @@ def make_fleet_solver(
             )
             if out is not None:
                 return out
+        if backend == "assoc":
+            from quaternion_mpc_tpu.solver import parallel_riccati
+
+            return parallel_riccati.parallel_backward(
+                spec, prob, xs, us, lam, rho, reg
+            )
         return riccati_backward(spec, prob, xs, us, lam, rho, reg)
 
     def solve(prob: FleetProblem) -> FleetSolution:
         dtype = prob.x0.dtype
         B = prob.x0.shape[-1]
         N = prob.us_init.shape[0]
-        nc = prob.cb.shape[0]
+        nc = prob.cb.shape[-2]
 
         def init_step(x, u):
             return _fleet_step(spec, x, u, prob.params, prob.h), x
@@ -642,10 +670,10 @@ def make_fleet_solver(
             )
             xs, us, lam, rho, reg, J, _, n_total = state
 
-            def cvals_k(u_k, lam_k):
-                return jnp.maximum(0.0, lam_k + rho * (bmv(prob.Cu, u_k) + prob.cb))
+            def cvals_k(u_k, lam_k, cb_k):
+                return jnp.maximum(0.0, lam_k + rho * (bmv(prob.Cu, u_k) + cb_k))
 
-            lam = jax.vmap(cvals_k)(us, lam)
+            lam = jax.vmap(cvals_k)(us, lam, cb_knots(prob.cb, N))
             rho = rho * opts.penalty_scaling
             return (xs, us, lam, rho, reg, n_total), None
 

@@ -1,0 +1,113 @@
+"""Joint-level actuated closed loop: the MPC reaches the robot only through
+the torque layer (swing IK+PD, stance τ = −Jᵀf — ``BaseInterface.cpp:344-408``
++ the Gazebo effort plugin ``joint_controller.cpp:15-229``) and ground forces
+come from terrain contact physics (`sim.articulated`), with real joint
+positions/velocities fed back."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quaternion_mpc_tpu.control import quat_mpc
+from quaternion_mpc_tpu.control.torque import JointTargets
+from quaternion_mpc_tpu.kin import leg as leg_mod
+from quaternion_mpc_tpu.runtime import step as rt
+from quaternion_mpc_tpu.sim import articulated as art
+from quaternion_mpc_tpu.sim import terrain as tmod
+from quaternion_mpc_tpu.solver import SolverOptions
+from quaternion_mpc_tpu.utils import config as cfg_mod
+
+OPTS = SolverOptions(al_iterations=2, ilqr_iterations=4)
+DTYPE = jnp.float64
+
+
+def _params(dtype=DTYPE, terrain=None):
+    wts = quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=dtype)
+    if terrain is None:
+        terrain = tmod.make_terrain("flat", dtype=dtype)
+    ap = art.default_params(
+        wts.mass, wts.inertia, wts.com_offset, wts.trunk_mass, terrain, dtype
+    )
+    return wts, ap
+
+
+def test_static_stand_under_gravity_torques():
+    """Pure physics, no MPC: stance torques τ = −Jᵀf with the static weight
+    split must hold the robot near standing height for 0.5 s."""
+    wts, ap = _params()
+    s = art.init_state(dtype=DTYPE)
+    f_share = jnp.zeros((4, 3), DTYPE).at[:, 2].set(
+        float(wts.mass) * 9.81 / 4.0
+    )
+    rot_feet_body = -f_share  # body frame grf on robot = +z up; τ = −Jᵀf
+    J = leg_mod.jac(s.q, ap.rho_fix)
+    tau = -jnp.einsum("ljk,lj->lk", J, f_share)
+    targets = JointTargets(q=s.q, dq=jnp.zeros_like(s.q), tau=tau)
+    # stance convention: position PD off, damping on
+    ap_run = ap._replace(kp_joint=jnp.zeros_like(ap.kp_joint))
+    step = jax.jit(lambda st: art.step(st, targets, ap_run, 0.01, n_sub=40))
+    for _ in range(50):  # 0.5 s
+        s = step(s)
+    z = float(s.torso.pos[2])
+    assert abs(z - 0.3) < 0.02, f"static stand drifted: z={z:.4f}"
+    # contact forces support the weight
+    _, fw, fv, _ = art.foot_kinematics(s, ap)
+    f = art.contact_forces(fw, fv, ap)
+    total_fz = float(jnp.sum(f[:, 2]))
+    np.testing.assert_allclose(total_fz, float(wts.mass) * 9.81, rtol=0.1)
+
+
+def test_actuated_trot_tracks_velocity():
+    """The trot tracks 0.4 m/s THROUGH the torque layer with joint
+    velocities fed back (VERDICT round-1 item 2)."""
+    wts, _ = _params()
+    carry, sp = rt.init_actuated_scenario(wts, dtype=DTYPE)
+    joy = rt.neutral_joy(DTYPE)._replace(velx=jnp.asarray(0.4, DTYPE))
+    step = jax.jit(rt.make_actuated_walking_step(horizon=10, opts=OPTS))
+    vels, heights = [], []
+    for _ in range(300):
+        carry, m = step(carry, sp, joy)
+        vels.append(float(carry.robot.torso.vel[0]))
+        heights.append(float(carry.robot.torso.pos[2]))
+    assert bool(carry.alive), "fell during actuated trot"
+    avg_vel = np.mean(vels[-150:])
+    np.testing.assert_allclose(avg_vel, 0.4, atol=0.12)
+    assert abs(np.mean(heights[-150:]) - 0.3) < 0.05
+    assert float(carry.robot.torso.pos[0]) > 0.8
+    # the joints actually moved and joint-velocity feedback is live
+    assert float(jnp.max(jnp.abs(carry.robot.dq))) > 0.1
+
+
+def test_actuated_trot_up_slope():
+    """Torque-driven climb of the 0.2-grade slope world."""
+    tp = tmod.make_terrain("slope", slope_grade=0.2, dtype=DTYPE)
+    wts, _ = _params(terrain=tp)
+    carry, sp = rt.init_actuated_scenario(
+        wts, dtype=DTYPE, terrain=tp, start_x=-0.4
+    )
+    joy = rt.neutral_joy(DTYPE)._replace(velx=jnp.asarray(0.3, DTYPE))
+    step = jax.jit(rt.make_actuated_walking_step(horizon=10, opts=OPTS))
+    for _ in range(450):
+        carry, m = step(carry, sp, joy)
+    assert bool(carry.alive), "fell on the slope (actuated)"
+    x = float(carry.robot.torso.pos[0])
+    z = float(carry.robot.torso.pos[2])
+    assert x > 0.6, f"did not climb (x={x:.3f})"
+    np.testing.assert_allclose(z, 0.2 * max(x, 0.0) + 0.3, atol=0.08)
+
+
+def test_swing_apex_is_ground_relative():
+    """Quintic apex rides the local ground height (absolute 0.1 m would
+    plow the swing foot into slope/stairs terrain)."""
+    from quaternion_mpc_tpu.gait import swing
+
+    T = jnp.asarray(0.25, DTYPE)
+    p0 = jnp.asarray([0.0, 0.0, 0.5], DTYPE)
+    p1 = jnp.asarray([0.15, 0.0, 0.55], DTYPE)
+    pos_mid, _, _ = swing.quintic_swing_target(T / 2, T, p0, p1)
+    np.testing.assert_allclose(float(pos_mid[2]), 0.55 + swing.Z_APEX, atol=1e-6)
+    # flat ground unchanged: apex at exactly Z_APEX
+    p0f = jnp.asarray([0.0, 0.0, 0.0], DTYPE)
+    p1f = jnp.asarray([0.15, 0.0, 0.0], DTYPE)
+    pos_mid_f, _, _ = swing.quintic_swing_target(T / 2, T, p0f, p1f)
+    np.testing.assert_allclose(float(pos_mid_f[2]), swing.Z_APEX, atol=1e-6)

@@ -1,0 +1,83 @@
+"""Estimator-in-the-loop trot with the reference's kf_type routing
+(``GazeboInterface.cpp:136-192``): 0 = ground truth, 1 = BasicKF, 2 = EKF
+(+ simulated mocap fusion with dropout/re-fusion, the
+``HardwareInterface.cpp:183-214`` path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quaternion_mpc_tpu.control import quat_mpc
+from quaternion_mpc_tpu.runtime import step as rt
+from quaternion_mpc_tpu.solver import SolverOptions
+from quaternion_mpc_tpu.utils import config as cfg_mod
+
+OPTS = SolverOptions(al_iterations=2, ilqr_iterations=4)
+DTYPE = jnp.float64
+
+
+def _wts():
+    return quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=DTYPE)
+
+
+def test_kf_type_routing_walks():
+    """All three estimator routes complete a 2.5 s trot without falling and
+    travel comparable distances."""
+    wts = _wts()
+    joy = rt.neutral_joy(DTYPE)._replace(velx=jnp.asarray(0.4, DTYPE))
+    xs = {}
+    for kt in (0, 1, 2):
+        carry, sp = rt.init_estimated_walking_scenario(wts, dtype=DTYPE, kf_type=kt)
+        step = jax.jit(rt.make_estimated_walking_step(horizon=10, opts=OPTS, kf_type=kt))
+        for _ in range(250):
+            carry, m = step(carry, sp, joy)
+        assert bool(carry.alive), f"kf_type={kt} fell"
+        xs[kt] = float(carry.plant.pos[0])
+    assert xs[0] > 0.7
+    # estimated routes track the ground-truth route closely
+    assert abs(xs[1] - xs[0]) < 0.1
+    assert abs(xs[2] - xs[0]) < 0.1
+
+
+def test_ekf_velocity_error_bounded_during_trot():
+    """kf_type=2: EKF velocity error stays bounded while walking (the
+    reference consumes only v_world from the EKF, BaseInterface.cpp:330-337)."""
+    wts = _wts()
+    carry, sp = rt.init_estimated_walking_scenario(wts, dtype=DTYPE, kf_type=2)
+    step = jax.jit(rt.make_estimated_walking_step(horizon=10, opts=OPTS, kf_type=2))
+    joy = rt.neutral_joy(DTYPE)._replace(velx=jnp.asarray(0.4, DTYPE))
+    verrs = []
+    for _ in range(250):
+        carry, m = step(carry, sp, joy)
+        verrs.append(float(jnp.linalg.norm(carry.est.x[3:6] - carry.plant.vel)))
+    assert bool(carry.alive)
+    assert np.mean(verrs[-150:]) < 0.05, f"EKF vel err {np.mean(verrs[-150:]):.4f}"
+    assert np.max(verrs[-150:]) < 0.2
+
+
+def test_mocap_dropout_and_refusion():
+    """kf_type=2 with mocap: position error is mm-level with mocap on,
+    drifts during a 1 s dropout, and snaps back after re-fusion."""
+    wts = _wts()
+    carry, sp = rt.init_estimated_walking_scenario(wts, dtype=DTYPE, kf_type=2)
+    step = jax.jit(rt.make_estimated_walking_step(horizon=10, opts=OPTS, kf_type=2))
+    joy = rt.neutral_joy(DTYPE)._replace(velx=jnp.asarray(0.4, DTYPE))
+    on, off = jnp.asarray(True), jnp.asarray(False)
+
+    def perr(c):
+        return float(jnp.linalg.norm(c.est.x[0:3] - c.plant.pos))
+
+    for _ in range(100):
+        carry, _ = step(carry, sp, joy, on)
+    e_fused = perr(carry)
+    for _ in range(100):  # 1 s dropout
+        carry, _ = step(carry, sp, joy, off)
+    e_drop = perr(carry)
+    for _ in range(50):
+        carry, _ = step(carry, sp, joy, on)
+    e_refused = perr(carry)
+
+    assert bool(carry.alive)
+    assert e_fused < 0.01, f"fused pos err {e_fused:.4f}"
+    assert e_drop > 3 * e_fused, "dropout did not visibly drift (test vacuous)"
+    assert e_refused < 0.01, f"re-fusion did not recover: {e_refused:.4f}"
