@@ -44,8 +44,13 @@ from quaternion_mpc_tpu.sim import terrain as terrain_mod
 from quaternion_mpc_tpu.solver import SolverOptions
 
 # flat f32 sensor frame on the feedback bus:
-# quat(4) gyro(3) accel(3) q(12) dq(12) foot_force(4)
-_N_SENSOR = 38
+# quat(4) gyro(3) accel(3) q(12) dq(12) foot_force(4) tick(1)
+# The tick counter is the SIM clock: the peer advances dt_low of physics per
+# LowCmd served, so (Δtick · dt_low) — not the wall clock — is the dt the
+# estimator/goal integrators must use. (On real hardware the two coincide;
+# here the reactive peer's clock stretches whenever the servo thread
+# overruns, and integrating with wall dt destabilizes the loop.)
+_N_SENSOR = 39
 _SENSOR_BYTES = _N_SENSOR * 4
 # flat f32 command frame on the command bus: (12, 5) [q dq tau kp kd]
 _CMD_BYTES = 12 * 5 * 4
@@ -88,13 +93,14 @@ def _sensors_to_bytes(st: unitree.LowState) -> bytes:
         np.asarray(q, np.float32),
         np.asarray(dq, np.float32),
         np.asarray(st.foot_force, np.float32),
+        np.asarray([st.tick], np.float32),
     ])
     return flat.tobytes()
 
 
-def _sensors_from_bytes(data: bytes, dtype=jnp.float32) -> HWSensors:
+def _sensors_from_bytes(data: bytes, dtype=jnp.float32) -> tuple[HWSensors, int]:
     flat = np.frombuffer(data, np.float32, count=_N_SENSOR)
-    return HWSensors(
+    sensors = HWSensors(
         quat=jnp.asarray(flat[0:4], dtype),
         gyro=jnp.asarray(flat[4:7], dtype),
         accel=jnp.asarray(flat[7:10], dtype),
@@ -102,20 +108,24 @@ def _sensors_from_bytes(data: bytes, dtype=jnp.float32) -> HWSensors:
         dq=jnp.asarray(flat[22:34], dtype),
         foot_force=jnp.asarray(flat[34:38], dtype),
     )
+    return sensors, int(flat[38])
 
 
 def make_hw_control_tick(
     horizon: int = 6,
     opts: SolverOptions = SolverOptions(al_iterations=1, ilqr_iterations=3),
-    dt_ctrl: float = 0.02,
 ):
     """One jittable hardware control tick (standing balance, kf_type=1):
     sensors → sigmoid contact detection (BaseInterface.cpp:234-249) →
     BasicKF → goal update → quaternion MPC → torque map → (12, 5) servo
-    command [q dq tau kp kd] for the wire."""
+    command [q dq tau kp kd] for the wire.
+
+    ``dt`` is a traced scalar: the measured time since the previous tick
+    (the reference likewise integrates with measured dt, Main.cpp:101-119),
+    so estimator/goal integration stays correct under scheduling jitter."""
     grf_update = quat_mpc.make_controller(horizon, opts, zero_initial_omega=False)
 
-    def tick(carry: HWCarry, sensors: HWSensors, joy, wts, rho_fix,
+    def tick(carry: HWCarry, sensors: HWSensors, dt, joy, wts, rho_fix,
              kp_joint, kd_joint, target_height):
         dtype = sensors.quat.dtype
         quat = lie.quat_normalize(sensors.quat)
@@ -139,7 +149,7 @@ def make_hw_control_tick(
                 foot_lin_vel_rel=foot_vel_rel,
                 contacts=contact,
             ),
-            dt_ctrl,
+            dt,
         )
 
         fbk = RobotFeedback(
@@ -153,15 +163,20 @@ def make_hw_control_tick(
             joint_vel=sensors.dq,
         )
         contacts = jnp.ones((4,), dtype)
-        goal, cmd = goals.goal_update(carry.goal, fbk, joy, contacts, dt=dt_ctrl)
+        goal, cmd = goals.goal_update(carry.goal, fbk, joy, contacts, dt=dt)
         cmd = cmd._replace(
             pos_body_d=cmd.pos_body_d.at[2].set(target_height - pos_w[2])
         )
         out, _sol = grf_update(fbk, cmd, wts)
         targets = torque_mod.tau_ctrl_update(fbk, out, rho_fix, contacts)
 
-        # stance convention: pure torque + joint damping (kp off)
-        kp = jnp.broadcast_to(kp_joint, (4, 3)) * (1.0 - contacts)[:, None]
+        # standing (movement_mode==0) convention, BaseInterface.cpp:402-405:
+        # τ_ff = −Jᵀf AND a full joint PD anchored at the MEASURED q/dq
+        # (tau_ctrl_update sets q_cmd=q for stance legs). The anchor is the
+        # stabilizer: between command updates the firmware PD resists any
+        # drift/foot slide — with kp=0 the pure-torque stance slowly slides
+        # the feet until the legs degenerate and the robot falls.
+        kp = jnp.broadcast_to(kp_joint, (4, 3))
         kd = jnp.broadcast_to(kd_joint, (4, 3))
         cmd_mat = jnp.stack(
             [targets.q, targets.dq, targets.tau, kp, kd], axis=-1
@@ -330,10 +345,15 @@ def run_hardware_loopback(
     servo = threading.Thread(target=servo_loop, daemon=True)
     servo.start()
 
-    # prime: first servo tick has no command yet — send a pure-damping cmd
-    damp = np.zeros((12, 5), np.float32)
-    damp[:, 4] = 2.0
-    cmd_bus.write(damp.tobytes())
+    # prime: first servo tick has no command yet — hold the initial pose with
+    # a stiff joint PD (the reference's default-pose mode, hard-coded stand
+    # gains at GazeboInterface.cpp:85-111). A damping-only prime lets the
+    # robot collapse during the seconds the control tick spends compiling.
+    hold = np.zeros((12, 5), np.float32)
+    hold[:, 0] = np.asarray(rs.q, np.float32).reshape(-1)
+    hold[:, 3] = 180.0
+    hold[:, 4] = 8.0
+    cmd_bus.write(hold.tobytes())
 
     # wait for the first sensor frame through the full UDP round trip
     t0 = time.time()
@@ -347,7 +367,7 @@ def run_hardware_loopback(
         peer.stop()
         raise TimeoutError("no LowState received from the sim peer")
 
-    sensors0 = _sensors_from_bytes(data, dtype)
+    sensors0, tick0 = _sensors_from_bytes(data, dtype)
     rot0 = lie.quat_to_rotmat(lie.quat_normalize(sensors0.quat))
     foot_body0 = leg_mod.fk(sensors0.q.reshape(4, 3), ap.rho_fix)
     fbk0 = RobotFeedback(
@@ -370,29 +390,38 @@ def run_hardware_loopback(
         roll_rate=z, pitch_rate=z, yaw_rate=z, sin_ang_vel=jnp.asarray(False),
     )
 
-    tick_fn = jax.jit(make_hw_control_tick(horizon, opts, dt_ctrl))
+    tick_fn = jax.jit(make_hw_control_tick(horizon, opts))
     th = jnp.asarray(target_height, dtype)
     # warm the compile cache outside the timed loop
+    dt0 = jnp.asarray(dt_ctrl, dtype)
     carry_w, cmd_mat, info = tick_fn(
-        carry, sensors0, joy, wts, ap.rho_fix, ap.kp_joint, ap.kd_joint, th
+        carry, sensors0, dt0, joy, wts, ap.rho_fix, ap.kp_joint, ap.kd_joint, th
     )
     jax.block_until_ready(cmd_mat)
 
     n_ticks = max(1, int(round(duration_s * mpc_rate)))
     loop = native.RateLoop(dt_ctrl, realtime_priority)
     costs, est_err = [], []
+    last_tick = tick0
     for _ in range(n_ticks):
         loop.wait()
         seq, data = fbk_bus.read()
-        sensors = _sensors_from_bytes(data, dtype)
+        sensors, sim_tick = _sensors_from_bytes(data, dtype)
+        # sim-clock dt (see _N_SENSOR comment); clamp: 0 when the frame is
+        # a repeat, capped at 5 nominal periods after a stall
+        dt_sim = min(max(sim_tick - last_tick, 0) * dt_low, 5.0 * dt_ctrl)
+        last_tick = sim_tick
         carry, cmd_mat, info = tick_fn(
-            carry, sensors, joy, wts, ap.rho_fix, ap.kp_joint, ap.kd_joint, th
+            carry, sensors, jnp.asarray(dt_sim, dtype), joy, wts,
+            ap.rho_fix, ap.kp_joint, ap.kd_joint, th
         )
         cmd_np = np.asarray(cmd_mat, np.float32)
         cmd_bus.write(cmd_np.tobytes())
         costs.append(float(info["mpc_cost"]))
         true_pos = np.asarray(peer.state.torso.pos)
-        est_err.append(float(np.linalg.norm(np.asarray(info["est_pos"]) - true_pos)))
+        last_est = np.asarray(info["est_pos"])
+        last_true = true_pos
+        est_err.append(float(np.linalg.norm(last_est - true_pos)))
     mpc_overruns = loop.overruns
 
     stop_evt.set()
@@ -415,5 +444,7 @@ def run_hardware_loopback(
         "final_quat_w": quat_w,
         "mean_mpc_cost": float(np.mean(costs)),
         "final_est_err": est_err[-1],
+        "final_est_pos": [float(v) for v in last_est],
+        "final_true_pos": [float(v) for v in last_true],
         "upright": quat_w > 0.95 and height > 0.15,
     }
