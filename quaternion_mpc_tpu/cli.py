@@ -353,6 +353,23 @@ def cmd_bench_solver(args) -> dict:
     }
 
 
+def cmd_run_hardware(args) -> dict:
+    """Main.cpp-shaped hardware loopback demo: native RateLoop/seqlock/UDP
+    runtime around the jitted estimator+MPC+torque tick, against the
+    articulated UDP sim peer (runtime.hardware_loop). Scripted operator
+    flow: default-pose prime (estimator warm-up) → MPC standing balance."""
+    _setup(args)
+    from quaternion_mpc_tpu.runtime import hardware_loop as hw
+
+    return hw.run_hardware_loopback(
+        duration_s=args.duration,
+        mpc_rate=args.mpc_rate,
+        low_rate=args.low_rate,
+        prime_s=args.prime,
+        auto_rate=not args.no_auto_rate,
+    )
+
+
 def cmd_run_scenario(args) -> dict:
     """Solve a named branch scenario (falling_cat / humanoid / spider_dog)."""
     _setup(args)  # platform override + sync dispatch
@@ -390,7 +407,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--velx", type=float, default=0.4, help="commanded m/s")
     p.add_argument("--terrain", default="flat",
                    help="world: flat | slope | stairs | space")
-    p.add_argument("--n_sub", type=int, default=40,
+    p.add_argument("--n_sub", type=int, default=80,
                    help="physics substeps per MPC tick (40 = 4 kHz at h=10 ms)")
     p.set_defaults(fn=cmd_run_actuated)
 
@@ -409,6 +426,21 @@ def build_parser() -> argparse.ArgumentParser:
     _common(p)
     p.add_argument("--name", required=True)
     p.set_defaults(fn=cmd_run_scenario)
+
+    p = sub.add_parser(
+        "run_hardware",
+        help="Main.cpp-shaped loopback: RateLoop threads + UDP sim peer",
+    )
+    _common(p)
+    p.add_argument("--duration", type=float, default=2.0, help="MPC phase [s]")
+    p.add_argument("--prime", type=float, default=0.6,
+                   help="default-pose/estimator warm-up phase [s]")
+    p.add_argument("--mpc_rate", type=float, default=50.0)
+    p.add_argument("--low_rate", type=float, default=250.0)
+    p.add_argument("--no_auto_rate", action="store_true",
+                   help="keep the requested MPC rate even if the platform "
+                        "dispatch floor cannot sustain it (count overruns)")
+    p.set_defaults(fn=cmd_run_hardware)
     return ap
 
 

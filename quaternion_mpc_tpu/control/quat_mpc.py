@@ -250,17 +250,20 @@ def make_fleet_controller(
     opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=5),
     zero_initial_omega: bool = True,
     return_body: bool = False,
+    backend: str = "auto",
 ):
     """Batch-last grf_update over a whole fleet at once.
 
     Takes batch-FIRST (fbk, cmd, wts) pytrees (natural user layout), returns
     (grf_world (B, n_feet, 3), cost (B,)); with return_body=True returns
-    (grf_world, grf_body, cost).
+    (grf_world, grf_body, cost). ``backend`` selects the Riccati sweep
+    (solver/fleet.py make_fleet_solver): "assoc" is the horizon-parallel
+    associative-scan pass for small-batch latency.
     """
     from quaternion_mpc_tpu.ops import lie as lie_mod
     from quaternion_mpc_tpu.solver.fleet import make_fleet_solver
 
-    solver = make_fleet_solver(_fleet_spec(), opts)
+    solver = make_fleet_solver(_fleet_spec(), opts, backend=backend)
 
     def grf_update(fbk, cmd, wts):
         prob = build_fleet_problem(fbk, cmd, wts, horizon, zero_initial_omega)

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from quaternion_mpc_tpu.control import goals, quat_mpc
+from quaternion_mpc_tpu.control import goals, quat_mpc, standup
 from quaternion_mpc_tpu.control import torque as torque_mod
 from quaternion_mpc_tpu.control.types import RobotFeedback
 from quaternion_mpc_tpu.est import kf as kf_mod
@@ -42,6 +42,11 @@ from quaternion_mpc_tpu.runtime import native, unitree
 from quaternion_mpc_tpu.sim import articulated as art_mod
 from quaternion_mpc_tpu.sim import terrain as terrain_mod
 from quaternion_mpc_tpu.solver import SolverOptions
+
+# default-pose / stand-up servo gains per joint type (hip, thigh, calf) — the
+# reference's hard-coded stand gains (GazeboInterface.cpp:85-111)
+PRIME_KP = ((70.0, 180.0, 300.0),) * 4
+PRIME_KD = ((3.0, 8.0, 15.0),) * 4
 
 # flat f32 sensor frame on the feedback bus:
 # quat(4) gyro(3) accel(3) q(12) dq(12) foot_force(4) tick(1)
@@ -68,6 +73,8 @@ class HWSensors(NamedTuple):
 class HWCarry(NamedTuple):
     goal: goals.GoalState
     kf: kf_mod.KFState
+    mode: goals.ModeState
+    standup: standup.StandupState
 
 
 def sensors_from_lowstate(st: unitree.LowState, dtype=jnp.float32) -> HWSensors:
@@ -93,7 +100,9 @@ def _sensors_to_bytes(st: unitree.LowState) -> bytes:
         np.asarray(q, np.float32),
         np.asarray(dq, np.float32),
         np.asarray(st.foot_force, np.float32),
-        np.asarray([st.tick], np.float32),
+        # tick carried as exact uint32 bits (a float32 tick loses integer
+        # exactness past 2^24 ≈ 4.6 h at 1 kHz, quantizing Δtick)
+        np.asarray([st.tick], np.uint32).view(np.float32),
     ])
     return flat.tobytes()
 
@@ -108,25 +117,42 @@ def _sensors_from_bytes(data: bytes, dtype=jnp.float32) -> tuple[HWSensors, int]
         dq=jnp.asarray(flat[22:34], dtype),
         foot_force=jnp.asarray(flat[34:38], dtype),
     )
-    return sensors, int(flat[38])
+    return sensors, int(flat[38:39].view(np.uint32)[0])
 
 
 def make_hw_control_tick(
     horizon: int = 6,
     opts: SolverOptions = SolverOptions(al_iterations=1, ilqr_iterations=3),
+    max_height_cmd_err: float = 0.05,
 ):
-    """One jittable hardware control tick (standing balance, kf_type=1):
+    """One jittable hardware control tick with the reference's operator flow:
     sensors → sigmoid contact detection (BaseInterface.cpp:234-249) →
-    BasicKF → goal update → quaternion MPC → torque map → (12, 5) servo
-    command [q dq tau kp kd] for the wire.
+    BasicKF → joystick mode machine (BaseInterface.cpp:135-192) → either
+    the default-pose/stand-up servo (set_default_pos, GazeboInterface.cpp:
+    85-111 + unitree_controller/src/body.cpp ramp) or goal update +
+    quaternion MPC + torque map → (12, 5) servo command [q dq tau kp kd]
+    for the wire.
 
-    ``dt`` is a traced scalar: the measured time since the previous tick
-    (the reference likewise integrates with measured dt, Main.cpp:101-119),
-    so estimator/goal integration stays correct under scheduling jitter."""
+    ``joy`` is a raw ``goals.JoySample`` (button edges are consumed the tick
+    they arrive, reference edge semantics). ``dt`` is a traced scalar — the
+    SIM-clock time advanced since the previous tick. This deliberately
+    departs from the reference, which passes fixed nominal periods to
+    ctrl_update/fbk_update (Main.cpp:101-119): the reactive loopback peer's
+    clock stretches whenever the servo thread overruns, so integrating with
+    nominal (or wall) dt would double-integrate. dt == 0 marks a repeated
+    feedback frame: the KF measurement update is skipped (re-fusing an
+    identical measurement would shrink covariance without new data).
+
+    The commanded body-height error is clamped to ±max_height_cmd_err: a
+    cold estimator (BasicKF's 0.09 m prior vs a ~0.3 m true height) would
+    otherwise command a step-input the size of the estimator error and
+    launch the robot — the reference avoids this operationally by holding
+    default-pose until the operator engages MPC; the clamp makes the MPC
+    phase additionally robust to estimator transients."""
     grf_update = quat_mpc.make_controller(horizon, opts, zero_initial_omega=False)
 
-    def tick(carry: HWCarry, sensors: HWSensors, dt, joy, wts, rho_fix,
-             kp_joint, kd_joint, target_height):
+    def tick(carry: HWCarry, sensors: HWSensors, dt, joy: goals.JoySample,
+             wts, rho_fix, kp_joint, kd_joint):
         dtype = sensors.quat.dtype
         quat = lie.quat_normalize(sensors.quat)
         rot = lie.quat_to_rotmat(quat)
@@ -139,7 +165,7 @@ def make_hw_control_tick(
         # sigmoid contact confidence on filtered foot force
         contact = 1.0 / (1.0 + jnp.exp(-10.0 * (sensors.foot_force - 10.0)))
 
-        kf_state, pos_w, vel_w = kf_mod.update(
+        kf_new, _, _ = kf_mod.update(
             carry.kf,
             kf_mod.KFInputs(
                 torso_rot_mat=rot,
@@ -149,9 +175,41 @@ def make_hw_control_tick(
                 foot_lin_vel_rel=foot_vel_rel,
                 contacts=contact,
             ),
-            dt,
+            jnp.maximum(dt, 1e-6),
         )
+        # repeated frame (dt==0): keep the previous estimate untouched
+        fresh = dt > 0.0
+        kf_state = jax.tree.map(
+            lambda new, old: jnp.where(fresh, new, old), kf_new, carry.kf
+        )
+        pos_w, vel_w = kf_state.x[0:3], kf_state.x[3:6]
 
+        # ---- joystick mode machine (A toggles stand/walk, B default-pose)
+        mode, joycmd, movement_mode = goals.joy_mode_update(carry.mode, joy, dt)
+
+        # ---- default-pose / stand-up servo path (set_default_pos)
+        # ramp restarts from the measured pose whenever the mode engages
+        st_engaged = carry.standup
+        st_fresh = standup.init_standup(sensors.q)
+        st = jax.tree.map(
+            lambda a, b: jnp.where(carry.mode.set_default_pos, a, b),
+            st_engaged, st_fresh,
+        )
+        st, q_ramp, _done = standup.standup_targets(st, dt)
+        prime_kp = jnp.asarray(PRIME_KP, dtype).reshape(4, 3)
+        prime_kd = jnp.asarray(PRIME_KD, dtype).reshape(4, 3)
+        prime_cmd = jnp.stack(
+            [
+                q_ramp.reshape(4, 3),
+                jnp.zeros((4, 3), dtype),
+                jnp.zeros((4, 3), dtype),
+                prime_kp,
+                prime_kd,
+            ],
+            axis=-1,
+        ).reshape(12, 5)
+
+        # ---- MPC path
         fbk = RobotFeedback(
             torso_pos_world=pos_w,
             torso_quat=quat,
@@ -163,10 +221,11 @@ def make_hw_control_tick(
             joint_vel=sensors.dq,
         )
         contacts = jnp.ones((4,), dtype)
-        goal, cmd = goals.goal_update(carry.goal, fbk, joy, contacts, dt=dt)
-        cmd = cmd._replace(
-            pos_body_d=cmd.pos_body_d.at[2].set(target_height - pos_w[2])
+        goal, cmd = goals.goal_update(carry.goal, fbk, joycmd, contacts, dt=dt)
+        height_err = jnp.clip(
+            mode.body_height - pos_w[2], -max_height_cmd_err, max_height_cmd_err
         )
+        cmd = cmd._replace(pos_body_d=cmd.pos_body_d.at[2].set(height_err))
         out, _sol = grf_update(fbk, cmd, wts)
         targets = torque_mod.tau_ctrl_update(fbk, out, rho_fix, contacts)
 
@@ -178,16 +237,36 @@ def make_hw_control_tick(
         # the feet until the legs degenerate and the robot falls.
         kp = jnp.broadcast_to(kp_joint, (4, 3))
         kd = jnp.broadcast_to(kd_joint, (4, 3))
-        cmd_mat = jnp.stack(
+        mpc_cmd = jnp.stack(
             [targets.q, targets.dq, targets.tau, kp, kd], axis=-1
         ).reshape(12, 5)
+
+        # goal state freezes while the default-pose servo holds (the MPC is
+        # not in command; integrating its position target would wind up).
+        # A B-press takes effect the same tick (joy_update precedes
+        # ctrl_update in the reference loop), hence the post-update mode.
+        in_prime = mode.set_default_pos
+        goal = jax.tree.map(
+            lambda new, old: jnp.where(in_prime, old, new), goal, carry.goal
+        )
+        # prime→MPC handover: re-anchor the desired world position at the
+        # (now converged) estimate so MPC starts from zero position error
+        handover = carry.mode.set_default_pos & ~in_prime
+        goal = goal._replace(
+            torso_pos_d_world=jnp.where(
+                handover, pos_w, goal.torso_pos_d_world
+            )
+        )
+        cmd_mat = jnp.where(in_prime, prime_cmd, mpc_cmd)
 
         info = {
             "mpc_cost": out.mpc_cost,
             "est_pos": pos_w,
             "est_vel": vel_w,
+            "movement_mode": movement_mode,
+            "in_prime": in_prime,
         }
-        return HWCarry(goal=goal, kf=kf_state), cmd_mat, info
+        return HWCarry(goal=goal, kf=kf_state, mode=mode, standup=st), cmd_mat, info
 
     return tick
 
@@ -201,7 +280,7 @@ class SimGo1Peer(threading.Thread):
 
     def __init__(self, ap: art_mod.ArticulatedParams,
                  rs: art_mod.ArticulatedState,
-                 dt_cmd: float, n_sub: int = 8):
+                 dt_cmd: float, n_sub: int = 32):
         super().__init__(daemon=True)
         self.udp = native.UdpLink()  # no peer: learns it from first datagram
         self._ap = ap
@@ -218,7 +297,9 @@ class SimGo1Peer(threading.Thread):
             ap_t = ap._replace(kp_joint=cm[..., 3], kd_joint=cm[..., 4])
             new_rs = art_mod.step(rs, targets, ap_t, self._dt, n_sub)
             _, foot_world, foot_vel_world, _ = art_mod.foot_kinematics(new_rs, ap)
-            f_world = art_mod.contact_forces(foot_world, foot_vel_world, ap)
+            f_world, _ = art_mod.contact_forces(
+                foot_world, foot_vel_world, ap, new_rs.anchor
+            )
             n_vec = terrain_mod.normal(ap.terrain, foot_world[..., :2])
             f_normal = jnp.sum(f_world * n_vec, axis=-1)
             # IMU specific force from the torso velocity delta
@@ -279,6 +360,8 @@ def run_hardware_loopback(
     opts: Optional[SolverOptions] = None,
     target_height: float = 0.3,
     realtime_priority: Optional[int] = None,
+    prime_s: float = 0.6,
+    auto_rate: bool = True,
     dtype=jnp.float32,
 ) -> dict:
     """Run the full Main.cpp-shaped stack against the simulated peer.
@@ -287,8 +370,20 @@ def run_hardware_loopback(
     low_rate, cmd bus → LowCmd, LowState → feedback bus] ↔ seqlock buses ↔
     [main thread: RateLoop at mpc_rate, jitted estimator+MPC+torque tick].
 
-    Returns a summary dict (rates achieved, estimator error, height error,
-    overrun counts) for the CLI and tests.
+    Operator flow (reference parity, BaseInterface.cpp:135-192): the run
+    scripts the joystick — a B-press engages the default-pose/stand-up servo
+    for ``prime_s`` seconds (the estimator converges from its cold 0.09 m
+    prior while the per-joint-type stand gains hold the pose), then a second
+    B-press hands over to MPC standing balance for ``duration_s``.
+
+    ``auto_rate``: if the measured (warm) control-tick wall time cannot fit
+    the requested MPC period — e.g. a ~25-30 ms dispatch floor on a tunneled
+    accelerator backend vs a 20 ms period — the MPC rate is lowered to the
+    largest rate the platform sustains, and the summary records both. Set
+    False to keep the requested rate and count the overruns honestly.
+
+    Returns a summary dict (rates achieved, estimator error, drift speed,
+    height error, overrun counts) for the CLI and tests.
     """
     if opts is None:
         opts = SolverOptions(al_iterations=1, ilqr_iterations=3)
@@ -304,7 +399,7 @@ def run_hardware_loopback(
     )
     rs = art_mod.init_state(height=target_height, rho_fix=ap.rho_fix, dtype=dtype)
 
-    peer = SimGo1Peer(ap, rs, dt_cmd=dt_low, n_sub=max(2, int(round(dt_low / 0.0005))))
+    peer = SimGo1Peer(ap, rs, dt_cmd=dt_low, n_sub=max(2, int(round(dt_low / 0.000125))))
     peer.start()
 
     link = unitree.HardwareLink("127.0.0.1", peer.udp.local_port)
@@ -345,14 +440,14 @@ def run_hardware_loopback(
     servo = threading.Thread(target=servo_loop, daemon=True)
     servo.start()
 
-    # prime: first servo tick has no command yet — hold the initial pose with
-    # a stiff joint PD (the reference's default-pose mode, hard-coded stand
-    # gains at GazeboInterface.cpp:85-111). A damping-only prime lets the
-    # robot collapse during the seconds the control tick spends compiling.
+    # first servo tick has no command yet — hold the initial pose with the
+    # reference's per-joint-type stand gains (GazeboInterface.cpp:85-111).
+    # A damping-only prime lets the robot collapse during the seconds the
+    # control tick spends compiling.
     hold = np.zeros((12, 5), np.float32)
     hold[:, 0] = np.asarray(rs.q, np.float32).reshape(-1)
-    hold[:, 3] = 180.0
-    hold[:, 4] = 8.0
+    hold[:, 3] = np.asarray(PRIME_KP, np.float32).reshape(-1)
+    hold[:, 4] = np.asarray(PRIME_KD, np.float32).reshape(-1)
     cmd_bus.write(hold.tobytes())
 
     # wait for the first sensor frame through the full UDP round trip
@@ -383,45 +478,68 @@ def run_hardware_loopback(
     carry = HWCarry(
         goal=goals.init_goal_state(fbk0),
         kf=kf_mod.init_state(rot0, foot_body0, dtype=dtype),
+        mode=goals.init_mode_state(target_height, dtype),
+        standup=standup.init_standup(sensors0.q),
     )
-    z = jnp.zeros((), dtype)
-    joy = goals.JoyCommand(
-        velx=z, vely=z, body_height=jnp.asarray(target_height, dtype),
-        roll_rate=z, pitch_rate=z, yaw_rate=z, sin_ang_vel=jnp.asarray(False),
-    )
+    joy_neutral = goals.neutral_joy_sample(dtype)
+    joy_press_b = joy_neutral._replace(default_pos=jnp.asarray(True))
 
     tick_fn = jax.jit(make_hw_control_tick(horizon, opts))
-    th = jnp.asarray(target_height, dtype)
-    # warm the compile cache outside the timed loop
+    # warm the compile cache outside the timed loop, and measure the warm
+    # tick wall time (includes the backend dispatch floor)
     dt0 = jnp.asarray(dt_ctrl, dtype)
     carry_w, cmd_mat, info = tick_fn(
-        carry, sensors0, dt0, joy, wts, ap.rho_fix, ap.kp_joint, ap.kd_joint, th
+        carry, sensors0, dt0, joy_neutral, wts, ap.rho_fix,
+        ap.kp_joint, ap.kd_joint,
     )
     jax.block_until_ready(cmd_mat)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _, cmd_w, _ = tick_fn(
+            carry, sensors0, dt0, joy_neutral, wts, ap.rho_fix,
+            ap.kp_joint, ap.kd_joint,
+        )
+        np.asarray(cmd_w)  # include the device->host pull the loop pays
+    tick_wall = (time.perf_counter() - t0) / 3.0
 
+    mpc_rate_req = mpc_rate
+    if auto_rate and tick_wall > 0.8 * dt_ctrl:
+        dt_ctrl = tick_wall / 0.8
+        mpc_rate = 1.0 / dt_ctrl
+
+    n_prime = max(1, int(round(prime_s * mpc_rate)))
     n_ticks = max(1, int(round(duration_s * mpc_rate)))
     loop = native.RateLoop(dt_ctrl, realtime_priority)
     costs, est_err = [], []
+    mpc_pos0 = None  # true position at MPC engage, for the drift metric
     last_tick = tick0
-    for _ in range(n_ticks):
+    last_est = last_true = np.zeros(3)
+    for k in range(n_prime + n_ticks):
         loop.wait()
         seq, data = fbk_bus.read()
         sensors, sim_tick = _sensors_from_bytes(data, dtype)
-        # sim-clock dt (see _N_SENSOR comment); clamp: 0 when the frame is
-        # a repeat, capped at 5 nominal periods after a stall
+        # sim-clock dt (see _N_SENSOR comment); 0 when the frame is a
+        # repeat (the tick then skips the KF measurement update), capped at
+        # 5 nominal periods after a stall
         dt_sim = min(max(sim_tick - last_tick, 0) * dt_low, 5.0 * dt_ctrl)
         last_tick = sim_tick
+        # scripted operator: B engages default-pose at k=0, disengages
+        # (hands over to MPC) after the prime window
+        joy = joy_press_b if k in (0, n_prime) else joy_neutral
         carry, cmd_mat, info = tick_fn(
             carry, sensors, jnp.asarray(dt_sim, dtype), joy, wts,
-            ap.rho_fix, ap.kp_joint, ap.kd_joint, th
+            ap.rho_fix, ap.kp_joint, ap.kd_joint,
         )
         cmd_np = np.asarray(cmd_mat, np.float32)
         cmd_bus.write(cmd_np.tobytes())
-        costs.append(float(info["mpc_cost"]))
         true_pos = np.asarray(peer.state.torso.pos)
         last_est = np.asarray(info["est_pos"])
         last_true = true_pos
-        est_err.append(float(np.linalg.norm(last_est - true_pos)))
+        if k >= n_prime:
+            if mpc_pos0 is None:
+                mpc_pos0 = true_pos
+            costs.append(float(info["mpc_cost"]))
+            est_err.append(float(np.linalg.norm(last_est - true_pos)))
     mpc_overruns = loop.overruns
 
     stop_evt.set()
@@ -432,7 +550,16 @@ def run_hardware_loopback(
     final = peer.state
     height = float(final.torso.pos[2])
     quat_w = float(abs(final.torso.quat[0]))
+    mpc_span_s = n_ticks * dt_ctrl
+    drift = (
+        float(np.linalg.norm((last_true - mpc_pos0)[:2])) / mpc_span_s
+        if mpc_pos0 is not None else float("nan")
+    )
     return {
+        "mpc_rate_requested": mpc_rate_req,
+        "mpc_rate_used": mpc_rate,
+        "tick_wall_ms": tick_wall * 1e3,
+        "prime_ticks": n_prime,
         "mpc_ticks": n_ticks,
         "mpc_overruns": int(mpc_overruns),
         "servo_ticks": servo_stats["ticks"],
@@ -444,6 +571,7 @@ def run_hardware_loopback(
         "final_quat_w": quat_w,
         "mean_mpc_cost": float(np.mean(costs)),
         "final_est_err": est_err[-1],
+        "drift_speed_mps": drift,
         "final_est_pos": [float(v) for v in last_est],
         "final_true_pos": [float(v) for v in last_true],
         "upright": quat_w > 0.95 and height > 0.15,

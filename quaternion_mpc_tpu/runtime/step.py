@@ -787,7 +787,7 @@ def make_actuated_walking_step(
     opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=4),
     gait_freq: float = 2.2,
     pattern=None,
-    n_sub: int = 40,
+    n_sub: int = 80,
     per_knot_contacts: bool = True,
 ):
     """Trot closed over the JOINT-LEVEL plant: the MPC's GRFs reach the
@@ -799,8 +799,9 @@ def make_actuated_walking_step(
     sigmoid force detector (``BaseInterface.cpp:234-249``), which also
     drives the gait FSM's early-contact transitions.
 
-    n_sub: physics substeps per MPC tick (40 × 0.25 ms at h=10 ms = the
-    reference's 4 kHz low-level rate, LeggedParams.h:5)."""
+    n_sub: physics substeps per MPC tick (80 × 0.125 ms at h=10 ms; the
+    0.125 ms substep is required for contact-integration stability — see
+    sim.articulated.step)."""
     from quaternion_mpc_tpu.control import torque as torque_mod
     from quaternion_mpc_tpu.gait import raibert as raibert_mod
     from quaternion_mpc_tpu.gait import schedule as sched_mod
@@ -820,7 +821,9 @@ def make_actuated_walking_step(
         tp = ap.terrain
 
         foot_body, foot_world, foot_vel_world, J = art_mod.foot_kinematics(rs, ap)
-        f_world = art_mod.contact_forces(foot_world, foot_vel_world, ap)
+        f_world, _ = art_mod.contact_forces(
+            foot_world, foot_vel_world, ap, rs.anchor
+        )
         n_vec = terrain_mod.normal(tp, foot_world[..., :2])
         f_normal = jnp.sum(f_world * n_vec, axis=-1)
         contact_prob = terrain_mod.contact_probability(tp, foot_world, f_normal)

@@ -50,7 +50,8 @@ class ArticulatedParams(NamedTuple):
     terrain: terrain_mod.TerrainParams
     contact_kp: jnp.ndarray            # normal spring [N/m]
     contact_kd: jnp.ndarray            # normal damper [N·s/m]
-    contact_kt: jnp.ndarray            # tangential viscous gain [N·s/m]
+    contact_kt: jnp.ndarray            # tangential (slip) damper [N·s/m]
+    contact_kt_spring: jnp.ndarray     # tangential anchor spring [N/m]
     mu: jnp.ndarray                    # Coulomb friction coefficient
     kp_joint: jnp.ndarray              # (3,) or (4,3) PD gains (send law)
     kd_joint: jnp.ndarray
@@ -59,8 +60,9 @@ class ArticulatedParams(NamedTuple):
 
 class ArticulatedState(NamedTuple):
     torso: plant_mod.PlantState
-    q: jnp.ndarray    # (4, 3) joint angles
-    dq: jnp.ndarray   # (4, 3) joint velocities
+    q: jnp.ndarray       # (4, 3) joint angles
+    dq: jnp.ndarray      # (4, 3) joint velocities
+    anchor: jnp.ndarray  # (4, 3) world-frame stick-friction anchors
 
 
 def default_params(
@@ -84,8 +86,9 @@ def default_params(
         leg_params=_go1_leg_params_all(dtype),
         terrain=terrain,
         contact_kp=jnp.asarray(30000.0, dtype),
-        contact_kd=jnp.asarray(300.0, dtype),
+        contact_kd=jnp.asarray(500.0, dtype),
         contact_kt=jnp.asarray(500.0, dtype),
+        contact_kt_spring=jnp.asarray(15000.0, dtype),
         mu=jnp.asarray(0.7, dtype),
         kp_joint=jnp.asarray([80.0, 80.0, 90.0], dtype),
         kd_joint=jnp.asarray([2.0, 2.0, 2.5], dtype),
@@ -117,10 +120,14 @@ def init_state(
             [[0.20, 0.14, -height], [0.20, -0.14, -height],
              [-0.20, 0.14, -height], [-0.20, -0.14, -height]], dtype)
     q = leg_mod.ik(jnp.asarray(foot_pos_body, dtype), rho_fix)
+    torso = plant_mod.init_state(height=height, dtype=dtype)
+    # stick anchors start at the initial world foot points
+    anchor = jnp.asarray(foot_pos_body, dtype) + torso.pos
     return ArticulatedState(
-        torso=plant_mod.init_state(height=height, dtype=dtype),
+        torso=torso,
         q=q,
         dq=jnp.zeros_like(q),
+        anchor=anchor,
     )
 
 
@@ -141,20 +148,54 @@ def foot_kinematics(s: ArticulatedState, p: ArticulatedParams):
     return foot_body, foot_world, foot_vel_world, J
 
 
-def contact_forces(foot_world, foot_vel_world, p: ArticulatedParams):
+def contact_forces(foot_world, foot_vel_world, p: ArticulatedParams,
+                   anchor=None):
     """World-frame ground reaction per foot (4, 3): one-sided normal
-    spring-damper on penetration + tangential viscous friction clamped to
-    the Coulomb cone. Normal from the terrain field (slope-aware)."""
+    spring-damper on penetration + stick-slip tangential friction. Normal
+    from the terrain field (slope-aware).
+
+    Tangential model (the role of ODE's contact constraint in Gazebo):
+    a STICKING foot stores an anchor point; the friction force is an
+    anchor-spring + damper, clamped to the Coulomb cone μ·fn. When the
+    clamp engages the foot SLIPS and the anchor is dragged along so the
+    spring holds exactly the cone-limit force. A purely viscous model
+    (no anchor) cannot produce static friction: any contact chatter then
+    rectifies into a steady glide, which is exactly the standing-drift
+    failure this model exists to prevent.
+
+    With ``anchor=None`` falls back to viscous-only (legacy callers that
+    carry no anchor state). Otherwise returns ``(f_world, new_anchor)``.
+    """
     n = terrain_mod.normal(p.terrain, foot_world[..., :2])     # (4, 3)
     pen = terrain_mod.penetration(p.terrain, foot_world)        # (4,)
     v_n = jnp.sum(foot_vel_world * n, axis=-1)                  # (4,)
     fn = p.contact_kp * pen - p.contact_kd * v_n
     fn = jnp.where(pen > 0.0, jnp.maximum(fn, 0.0), 0.0)        # one-sided
     v_t = foot_vel_world - v_n[:, None] * n
-    ft = -p.contact_kt * v_t
-    ft_norm = jnp.linalg.norm(ft, axis=-1, keepdims=True)
-    scale = jnp.minimum(1.0, p.mu * fn[:, None] / jnp.maximum(ft_norm, 1e-9))
-    return fn[:, None] * n + ft * scale
+    if anchor is None:
+        ft = -p.contact_kt * v_t
+        ft_norm = jnp.linalg.norm(ft, axis=-1, keepdims=True)
+        scale = jnp.minimum(
+            1.0, p.mu * fn[:, None] / jnp.maximum(ft_norm, 1e-9)
+        )
+        return fn[:, None] * n + ft * scale
+
+    # tangential displacement from the anchor, projected off the normal
+    disp = foot_world - anchor
+    disp_t = disp - jnp.sum(disp * n, axis=-1, keepdims=True) * n
+    ft_raw = -p.contact_kt_spring * disp_t - p.contact_kt * v_t
+    ft_norm = jnp.linalg.norm(ft_raw, axis=-1, keepdims=True)
+    ft_max = p.mu * fn[:, None]
+    scale = jnp.minimum(1.0, ft_max / jnp.maximum(ft_norm, 1e-9))
+    ft = ft_raw * scale
+    in_contact = (pen > 0.0)[:, None]
+    slipping = in_contact & (ft_norm > ft_max)
+    # slip: drag the anchor so the spring alone would hold the clamped force
+    anchor_slip = foot_world + ft / p.contact_kt_spring
+    new_anchor = jnp.where(
+        in_contact, jnp.where(slipping, anchor_slip, anchor), foot_world
+    )
+    return fn[:, None] * n + ft * in_contact, new_anchor
 
 
 def substep(s: ArticulatedState, targets: JointTargets, p: ArticulatedParams, dt):
@@ -163,7 +204,9 @@ def substep(s: ArticulatedState, targets: JointTargets, p: ArticulatedParams, dt
     ``GazeboInterface.cpp:116-124``)."""
     rot = lie.quat_to_rotmat(s.torso.quat)
     foot_body, foot_world, foot_vel_world, J = foot_kinematics(s, p)
-    f_world = contact_forces(foot_world, foot_vel_world, p)     # (4, 3)
+    f_world, anchor = contact_forces(
+        foot_world, foot_vel_world, p, s.anchor
+    )                                                           # (4, 3)
     f_body = f_world @ rot                                      # rows Rᵀ f
 
     # actuator torque: explicit PD + feedforward, clamped (PowerProtect analog)
@@ -202,6 +245,7 @@ def substep(s: ArticulatedState, targets: JointTargets, p: ArticulatedParams, dt
         ),
         q=q_new,
         dq=dq_new,
+        anchor=anchor,
     )
 
 
@@ -210,12 +254,20 @@ def step(
     targets: JointTargets,
     p: ArticulatedParams,
     dt_ctrl,
-    n_sub: int = 40,
+    n_sub: int = 80,
 ) -> ArticulatedState:
-    """Integrate one control period (default: 40 × 0.25 ms = one 10 ms MPC
-    tick at the reference's 4 kHz low-level rate) with zero-order-hold
-    joint targets; PD is re-evaluated against the live joint state every
-    substep, exactly like the ros_control effort plugin."""
+    """Integrate one control period (default: 80 × 0.125 ms per 10 ms MPC
+    tick) with zero-order-hold joint targets; PD is re-evaluated against
+    the live joint state every substep, exactly like the ros_control
+    effort plugin (the reference's 4 kHz is its CONTROL rate; Gazebo's
+    internal physics integrates finer).
+
+    The 0.125 ms substep is a stability requirement, not a luxury: the
+    contact spring acting through the low-inertia leg chains creates a
+    ~500 rad/s overdamped mode, and at 0.25 ms the semi-implicit Euler
+    turns a static stand into a hopping limit cycle whose rectified
+    friction drifts the robot at ~5 cm/s (measured); at 0.125 ms the same
+    stand settles to exact static equilibrium (Σfz = m·g, dq = 0)."""
     dt = dt_ctrl / n_sub
 
     def body(state, _):

@@ -45,14 +45,14 @@ def test_static_stand_under_gravity_torques():
     targets = JointTargets(q=s.q, dq=jnp.zeros_like(s.q), tau=tau)
     # stance convention: position PD off, damping on
     ap_run = ap._replace(kp_joint=jnp.zeros_like(ap.kp_joint))
-    step = jax.jit(lambda st: art.step(st, targets, ap_run, 0.01, n_sub=40))
+    step = jax.jit(lambda st: art.step(st, targets, ap_run, 0.01, n_sub=80))
     for _ in range(50):  # 0.5 s
         s = step(s)
     z = float(s.torso.pos[2])
     assert abs(z - 0.3) < 0.02, f"static stand drifted: z={z:.4f}"
     # contact forces support the weight
     _, fw, fv, _ = art.foot_kinematics(s, ap)
-    f = art.contact_forces(fw, fv, ap)
+    f, _ = art.contact_forces(fw, fv, ap, s.anchor)
     total_fz = float(jnp.sum(f[:, 2]))
     np.testing.assert_allclose(total_fz, float(wts.mass) * 9.81, rtol=0.1)
 

@@ -83,4 +83,9 @@ def test_scaling_report_on_virtual_mesh():
     for n, row in rep.items():
         assert row["batch"] == 8 * n
         assert np.isfinite(row["steps_per_sec"]) and row["steps_per_sec"] > 0
-        assert row["efficiency"] > 0.2  # virtual mesh: cores are shared
+        # virtual mesh: all devices share one host's cores AND CI may run
+        # this under load, so wall-clock efficiency is not meaningful as a
+        # scaling measurement here (the two-process jax.distributed test and
+        # the real-chip bench carry that); this only guards against a
+        # pathological serialization of the sharded step.
+        assert row["efficiency"] > 0.05
