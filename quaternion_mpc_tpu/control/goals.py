@@ -176,11 +176,15 @@ def goal_update(
     vel_d_body = rot.T @ vel_d_world
     vel_filter, vel_d_body_f = filters.window_update(state.vel_filter, vel_d_body)
 
-    # desired position integration (:96-99)
+    # desired position integration (:96-99); integrate in the state dtype —
+    # a weakly-typed f64 dt from a caller must not promote the scatter
     pos_d_world = state.torso_pos_d_world
-    pos_d_world = pos_d_world.at[0].add(vel_d_world[0] * dt)
-    pos_d_world = pos_d_world.at[1].add(vel_d_world[1] * dt)
-    pos_d_world = pos_d_world.at[2].set(joy.body_height)
+    delta = (vel_d_world * dt).astype(pos_d_world.dtype)
+    pos_d_world = pos_d_world.at[0].add(delta[0])
+    pos_d_world = pos_d_world.at[1].add(delta[1])
+    pos_d_world = pos_d_world.at[2].set(
+        jnp.asarray(joy.body_height, pos_d_world.dtype)
+    )
     pos_d_body = rot.T @ (pos_d_world - fbk.torso_pos_world)
     pos_filter, pos_d_body_f = filters.window_update(state.pos_filter, pos_d_body)
 

@@ -120,8 +120,14 @@ def update(
     inp: EkfInputs,
     dt,
     noise: EkfNoise = EkfNoise(),
+    foot_height_ref=None,
 ) -> Tuple[EkfState, jnp.ndarray, jnp.ndarray]:
-    """IMU propagate + leg-odometry update. Returns (state, p_world, v_world)."""
+    """IMU propagate + leg-odometry update. Returns (state, p_world, v_world).
+
+    ``foot_height_ref``: optional (4,) expected ground height per foot —
+    the terrain-aware measurement of the reference's
+    ``A1KFCombineLOWithFootTerrain`` submodule variant (flat ground = 0,
+    the default)."""
     dtype = state.x.dtype
     contact = inp.contacts
 
@@ -148,9 +154,11 @@ def update(
     h_fn = lambda x: _measure(x, None)
     H_nl = jax.jacfwd(h_fn)(x_pred)
     z_pred_nl = h_fn(x_pred)
-    z_nl = jnp.concatenate(
-        [inp.foot_pos_body.reshape(-1), jnp.zeros((NUM_LEG,), dtype=dtype)]
+    href = (
+        jnp.zeros((NUM_LEG,), dtype=dtype)
+        if foot_height_ref is None else foot_height_ref
     )
+    z_nl = jnp.concatenate([inp.foot_pos_body.reshape(-1), href])
 
     # leg-odometry velocity: v ≈ −R(ω×r + J dq) for contact legs
     rpy = x_pred[6:9]

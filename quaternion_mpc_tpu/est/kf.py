@@ -68,8 +68,16 @@ class KFInputs(NamedTuple):
     contacts: jnp.ndarray           # (4,) estimated contact ∈ [0,1]
 
 
-def update(state: KFState, inp: KFInputs, dt) -> Tuple[KFState, jnp.ndarray, jnp.ndarray]:
-    """One KF tick; returns (state, pos_world, vel_world)."""
+def update(state: KFState, inp: KFInputs, dt,
+           foot_height_ref=None) -> Tuple[KFState, jnp.ndarray, jnp.ndarray]:
+    """One KF tick; returns (state, pos_world, vel_world).
+
+    ``foot_height_ref``: optional (4,) expected ground height under each
+    foot. The reference's BasicKF pins stance-foot height to 0 (flat
+    ground); the terrain-aware variant (the casadi submodule's
+    ``A1KFCombineLOWithFootTerrain`` role) measures foot height against
+    the known walking surface instead — required on slopes/stairs, where
+    the flat-ground assumption drives the height estimate divergent."""
     dtype = state.x.dtype
     eye3 = jnp.eye(3, dtype=dtype)
     R = inp.torso_rot_mat
@@ -112,7 +120,10 @@ def update(state: KFState, inp: KFInputs, dt) -> Tuple[KFState, jnp.ndarray, jnp
         jnp.broadcast_to(inp.torso_ang_vel_body, (NUM_LEG, 3)), inp.foot_pos_body
     )
     vel_meas = (1.0 - contact[:, None]) * state.x[3:6] + contact[:, None] * (leg_v @ R.T)
-    height_meas = (1.0 - contact) * (state.x[2] + inp.foot_pos_body[:, 2])
+    href = jnp.zeros((NUM_LEG,), dtype) if foot_height_ref is None else foot_height_ref
+    height_meas = contact * href + (1.0 - contact) * (
+        state.x[2] + inp.foot_pos_body[:, 2]
+    )
     y = jnp.concatenate([fk_world.reshape(-1), vel_meas.reshape(-1), height_meas])
 
     S = C @ Pbar @ C.T + Rm

@@ -64,6 +64,32 @@ def feedback_from_plant(ps: plant.PlantState, foot_pos_body) -> RobotFeedback:
     )
 
 
+def _pinned_feet_joint_state(ps, foot_pos_body, foot_vel_world, rho_fix):
+    """Joint angles AND velocities consistent with the pinned-feet SRB model
+    (honest encoder emulation — the reference's sensor_update reads real
+    encoders, ``BaseInterface.cpp:204-231``):
+
+        q  = IK(foot_body)
+        dq = J(q)⁻¹ · d/dt[Rᵀ(p_f − p)] = J⁻¹(Rᵀ(v_f − v) − ω × foot_body)
+
+    with v_f = 0 for stance feet and the FSM swing velocity otherwise.
+
+    dq is clamped to ±21 rad/s (the Go1 actuator velocity limit,
+    go1.urdf joint velocity attrs): near workspace edges J⁻¹ spikes are a
+    pinned-feet model artifact a real encoder could never report.
+    """
+    from quaternion_mpc_tpu.kin import leg as leg_mod
+
+    rot = lie.quat_to_rotmat(ps.quat)
+    q = leg_mod.ik(foot_pos_body, rho_fix)
+    v_rel = (foot_vel_world - ps.vel) @ rot - jnp.cross(
+        jnp.broadcast_to(ps.omega, foot_pos_body.shape), foot_pos_body
+    )
+    J = leg_mod.jac(q, rho_fix)
+    dq = jnp.linalg.solve(J, v_rel[..., None])[..., 0]
+    return q, jnp.clip(dq, -21.0, 21.0)
+
+
 def _make_grf_update(controller: str, horizon, opts, zero_initial_omega):
     """Controller routing on the config key (Main.cpp:69-91: controller_type
     1 = ConvexMpc, 2 = QuatMpc)."""
@@ -206,9 +232,14 @@ def make_walking_step(
         rot = lie.quat_to_rotmat(ps.quat)
         foot_pos_body = (carry.feet_world - ps.pos) @ rot  # Rᵀ(p_f − p) rows
         rho_fix = leg_mod.go1_rho_fix(dtype)
-        joint_pos = leg_mod.ik(foot_pos_body, rho_fix)
 
         contacts_now = sched_mod.contact_flags(carry.gait, pattern).astype(dtype)
+        foot_vel_world = jnp.where(
+            contacts_now[:, None] > 0.5, 0.0, carry.gait.target_vel
+        )
+        joint_pos, joint_vel = _pinned_feet_joint_state(
+            ps, foot_pos_body, foot_vel_world, rho_fix
+        )
         fbk = RobotFeedback(
             torso_pos_world=ps.pos,
             torso_quat=ps.quat,
@@ -217,7 +248,7 @@ def make_walking_step(
             foot_pos_body=foot_pos_body,
             foot_contact=contacts_now,
             joint_pos=joint_pos.reshape(-1),
-            joint_vel=jnp.zeros_like(joint_pos).reshape(-1),
+            joint_vel=joint_vel.reshape(-1),
         )
 
         # Raibert foothold targets (BaseInterface.cpp:266-288)
@@ -538,6 +569,8 @@ class EstWalkingCarry(NamedTuple):
     terrain_est: "object"
     est: "object"             # kf.KFState | ekf.EkfState | None (kf_type 0)
     alive: jnp.ndarray
+    tick: "object" = None        # int32 scalar — mocap scheduling
+    mocap_count: "object" = None  # int32 scalar — mocap warm-up drop
 
 
 def make_estimated_walking_step(
@@ -547,6 +580,8 @@ def make_estimated_walking_step(
     pattern=None,
     kf_type: int = 1,
     per_knot_contacts: bool = True,
+    mocap_every: int = 5,
+    mocap_warmup: int = 10,
 ):
     """Trot closed over the ESTIMATED state with the reference's estimator
     routing (``GazeboInterface.cpp:136-192`` / ``HardwareInterface.cpp:183-214``):
@@ -554,8 +589,10 @@ def make_estimated_walking_step(
     - kf_type=0: ground truth (gt_pose_callback direct write);
     - kf_type=1: BasicKF 18/28 linear KF (contact-aided leg odometry);
     - kf_type=2: 21-state EKF (`est.ekf`, the CasADi-submodule equivalent)
-      with per-tick simulated-mocap fusion — the returned step takes an
-      optional 4th argument ``mocap_on`` (scalar bool) to model mocap
+      with simulated-mocap fusion at the mocap callback rate — every
+      ``mocap_every``-th tick, after dropping the first ``mocap_warmup``
+      samples (``GazeboInterface.cpp:176-192``) — the returned step takes
+      an optional 4th argument ``mocap_on`` (scalar bool) to model
       dropout/re-fusion; default on.
 
     The controller sees estimated torso position/velocity; attitude and
@@ -585,7 +622,6 @@ def make_estimated_walking_step(
         # encoders see the TRUE kinematics (feet pinned in world)
         foot_pos_body = (carry.feet_world - ps.pos) @ rot
         rho_fix = leg_mod.go1_rho_fix(dtype)
-        joint_pos = leg_mod.ik(foot_pos_body, rho_fix)
 
         # estimated torso pos/vel per kf_type; IMU attitude/rates are true
         if kf_type == 0:
@@ -596,6 +632,12 @@ def make_estimated_walking_step(
             est_pos, est_vel = carry.est.x[0:3], carry.est.x[3:6]
 
         contacts_now = sched_mod.contact_flags(carry.gait, pattern).astype(dtype)
+        foot_vel_world_now = jnp.where(
+            contacts_now[:, None] > 0.5, 0.0, carry.gait.target_vel
+        )
+        joint_pos, joint_vel = _pinned_feet_joint_state(
+            ps, foot_pos_body, foot_vel_world_now, rho_fix
+        )
         fbk = RobotFeedback(
             torso_pos_world=est_pos,
             torso_quat=ps.quat,
@@ -604,7 +646,7 @@ def make_estimated_walking_step(
             foot_pos_body=foot_pos_body,
             foot_contact=contacts_now,
             joint_pos=joint_pos.reshape(-1),
-            joint_vel=jnp.zeros_like(joint_pos).reshape(-1),
+            joint_vel=joint_vel.reshape(-1),
         )
 
         vel_d_rel = jnp.stack([joy.velx, joy.vely, jnp.zeros_like(joy.velx)])
@@ -660,6 +702,11 @@ def make_estimated_walking_step(
 
         # --- estimator tick against the NEW plant state
         est_state = carry.est
+        tick = (jnp.zeros((), jnp.int32) if carry.tick is None else carry.tick)
+        mocap_count = (
+            jnp.zeros((), jnp.int32) if carry.mocap_count is None
+            else carry.mocap_count
+        )
         if kf_type > 0:
             rot_new = lie.quat_to_rotmat(new_plant.quat)
             foot_body_new = (feet_world - new_plant.pos) @ rot_new
@@ -694,18 +741,22 @@ def make_estimated_walking_step(
                 )
                 est_state, _, _ = ekf_mod.update(carry.est, ekf_in, sp.wts.h)
                 # simulated mocap (GazeboInterface kf_type=2 path): true pose
-                # + yaw, gated by mocap_on for dropout tests
+                # + yaw, fused at the mocap callback rate with a warm-up
+                # drop (first `mocap_warmup` samples discarded,
+                # GazeboInterface.cpp:176-183), gated by mocap_on for
+                # dropout tests
+                sample_due = (tick % mocap_every) == 0
+                if mocap_on is not None:
+                    sample_due = sample_due & jnp.asarray(mocap_on)
+                mocap_count = mocap_count + sample_due.astype(jnp.int32)
+                fuse = sample_due & (mocap_count > mocap_warmup)
                 fused = ekf_mod.mocap_update(
                     est_state, new_plant.pos,
                     lie.quat_to_euler(new_plant.quat)[2],
                 )
-                if mocap_on is None:
-                    est_state = fused
-                else:
-                    on = jnp.asarray(mocap_on)
-                    est_state = jax.tree.map(
-                        lambda a, b: jnp.where(on, a, b), fused, est_state
-                    )
+                est_state = jax.tree.map(
+                    lambda a, b: jnp.where(fuse, a, b), fused, est_state
+                )
 
         ground_under = terrain_mod.height(tp, new_plant.pos[:2])
         ok = safety.is_safe(new_plant.quat, fbk.joint_vel)
@@ -728,6 +779,7 @@ def make_estimated_walking_step(
             EstWalkingCarry(
                 plant=kept_plant, goal=goal, gait=gait, feet_world=feet_world,
                 terrain_est=terr_est, est=est_state, alive=alive,
+                tick=tick + 1, mocap_count=mocap_count,
             ),
             metrics,
         )
@@ -764,6 +816,8 @@ def init_estimated_walking_scenario(
         plant=base.plant, goal=base.goal, gait=base.gait,
         feet_world=base.feet_world, terrain_est=base.terrain_est,
         est=est, alive=base.alive,
+        tick=jnp.zeros((), jnp.int32),
+        mocap_count=jnp.zeros((), jnp.int32),
     )
     return carry, sp
 
@@ -1044,8 +1098,13 @@ def make_fleet_walking_step(
         rot = lie.quat_to_rotmat(ps.quat)
         foot_pos_body = (carry.feet_world - ps.pos) @ rot
         rho_fix = leg_mod.go1_rho_fix(dtype)
-        joint_pos = leg_mod.ik(foot_pos_body, rho_fix)
         contacts_now = sched_mod.contact_flags(carry.gait, pattern).astype(dtype)
+        foot_vel_world_now = jnp.where(
+            contacts_now[:, None] > 0.5, 0.0, carry.gait.target_vel
+        )
+        joint_pos, joint_vel = _pinned_feet_joint_state(
+            ps, foot_pos_body, foot_vel_world_now, rho_fix
+        )
         fbk = RobotFeedback(
             torso_pos_world=ps.pos,
             torso_quat=ps.quat,
@@ -1054,7 +1113,7 @@ def make_fleet_walking_step(
             foot_pos_body=foot_pos_body,
             foot_contact=contacts_now,
             joint_pos=joint_pos.reshape(-1),
-            joint_vel=jnp.zeros_like(joint_pos).reshape(-1),
+            joint_vel=joint_vel.reshape(-1),
         )
         vel_d_rel = jnp.stack([joy.velx, joy.vely, jnp.zeros_like(joy.velx)])
         default_rel = jnp.asarray(
@@ -1146,3 +1205,325 @@ def make_fleet_walking_step(
         )
 
     return fleet_step
+
+
+# ---------------------------------------------------------------------------
+# Estimated + actuated walking: the full Gazebo-parity loop in one step
+# ---------------------------------------------------------------------------
+
+
+class EstActuatedCarry(NamedTuple):
+    robot: "object"            # sim.articulated.ArticulatedState
+    goal: goals.GoalState
+    gait: "object"             # schedule.GaitState
+    terrain_est: "object"      # kin.terrain.TerrainState
+    est: "object"              # kf.KFState | ekf.EkfState | None (kf_type 0)
+    prev_targets: "object"     # control.torque.JointTargets commanded last tick
+    prev_kp: jnp.ndarray       # (4, 3) joint kp commanded last tick
+    prev_vel: jnp.ndarray      # (3,) torso vel one tick ago (IMU differencing)
+    tick: jnp.ndarray          # int32 tick counter (mocap scheduling)
+    mocap_count: jnp.ndarray   # int32 mocap samples seen (first-N warm-up drop)
+    alive: jnp.ndarray
+
+
+class EstActuatedMetrics(NamedTuple):
+    mpc_cost: jnp.ndarray
+    vel_err: jnp.ndarray
+    height_err: jnp.ndarray
+    est_err: jnp.ndarray       # |est pos − true pos|
+    alive: jnp.ndarray
+
+
+def make_estimated_actuated_step(
+    horizon: int = 10,
+    opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=4),
+    gait_freq: float = 2.2,
+    pattern=None,
+    kf_type: int = 1,
+    n_sub: int = 80,
+    per_knot_contacts: bool = True,
+    mocap_every: int = 5,
+    mocap_warmup: int = 10,
+    contact_threshold: float = 10.0,
+):
+    """Estimator + torque layer + gait + terrain in ONE closed loop — the
+    composition Gazebo mode actually runs (``GazeboInterface.cpp:58-82``
+    fbk → est → ctrl → send cycle): the controller NEVER sees ground truth.
+
+    Sensing (all derived, nothing oracular):
+    - encoders: joint q/dq from the articulated plant;
+    - IMU: true attitude/rates (the reference trusts the IMU orientation,
+      BasicKF.cpp "orientation assumed known"), specific force from torso
+      velocity differencing;
+    - foot force via f = J⁻ᵀτ from the COMMANDED servo torque re-evaluated
+      at the measured joint state (``BaseInterface.cpp:253-261``) —
+      feeding the sigmoid contact detector (:234-249), which gates both
+      the estimator and the gait FSM's early-contact path;
+    - torso pos/vel from the kf_type-routed estimator: 0 = ground truth
+      passthrough, 1 = BasicKF, 2 = EKF + simulated mocap fused every
+      ``mocap_every``-th tick after a ``mocap_warmup``-sample drop
+      (``GazeboInterface.cpp:176-192``); the returned step takes an
+      optional 4th argument ``mocap_on`` for dropout tests.
+
+    Acting: goal → Raibert (on ESTIMATED velocity) → gait FSM → quat-MPC →
+    swing IK/J⁻¹ + stance τ = −Jᵀf → explicit PD+τff at the physics rate.
+    Ground truth exists only inside the plant and the metrics."""
+    from quaternion_mpc_tpu.control import torque as torque_mod
+    from quaternion_mpc_tpu.est import ekf as ekf_mod
+    from quaternion_mpc_tpu.est import kf as kf_mod
+    from quaternion_mpc_tpu.gait import raibert as raibert_mod
+    from quaternion_mpc_tpu.gait import schedule as sched_mod
+    from quaternion_mpc_tpu.kin import leg as leg_mod
+    from quaternion_mpc_tpu.kin import terrain as kterr_mod
+    from quaternion_mpc_tpu.sim import articulated as art_mod
+    from quaternion_mpc_tpu.sim import terrain as terrain_mod
+
+    if pattern is None:
+        pattern = sched_mod.trot_pattern()
+    if kf_type not in (0, 1, 2):
+        raise ValueError(f"kf_type must be 0, 1 or 2, got {kf_type}")
+    grf_update = quat_mpc.make_controller(horizon, opts, zero_initial_omega=False)
+
+    def control_step(carry: EstActuatedCarry, sp: ActuatedScenario,
+                     joy: goals.JoyCommand, mocap_on=None):
+        rs = carry.robot
+        ap = sp.plant
+        ps = rs.torso
+        dtype = ps.pos.dtype
+        tp = ap.terrain
+
+        # ---- sensors (no oracle quantities)
+        quat = ps.quat                      # IMU attitude
+        gyro = ps.omega                     # IMU rates
+        rot = lie.quat_to_rotmat(quat)
+        accel_body = rot.T @ (
+            (ps.vel - carry.prev_vel) / sp.wts.h
+            + jnp.array([0.0, 0.0, plant.GRAVITY], dtype=dtype)
+        )
+        q, dq = rs.q, rs.dq
+        foot_body = leg_mod.fk(q, ap.rho_fix)
+        J = leg_mod.jac(q, ap.rho_fix)
+        foot_vel_rel = jnp.einsum("lij,lj->li", J, dq)
+
+        # commanded servo torque at the measured joint state -> f = J^-T tau
+        tau_applied = jnp.clip(
+            torque_mod.pd_torque(carry.prev_targets, q, dq,
+                                 carry.prev_kp, ap.kd_joint),
+            -ap.tau_max, ap.tau_max,
+        )
+        f_est_body = leg_mod.foot_force_from_torques(q, -tau_applied, ap.rho_fix)
+        f_est_up = jnp.einsum("ij,lj->li", rot, f_est_body)[:, 2]
+        contact_prob = 1.0 / (
+            1.0 + jnp.exp(-10.0 * (f_est_up - contact_threshold))
+        )
+
+        # ---- estimator routing (kf_type, GazeboInterface.cpp:136-192)
+        # terrain-aware foot-height reference (the WithFootTerrain variant):
+        # expected ground height under the ESTIMATED foot xy
+        est_pos_prior = ps.pos if kf_type == 0 else (
+            carry.est.x[0:3]
+        )
+        feet_xy_est = (est_pos_prior + foot_body @ rot.T)[:, :2]
+        href = terrain_mod.height(tp, feet_xy_est)
+        est_state = carry.est
+        mocap_count = carry.mocap_count
+        if kf_type == 0:
+            est_pos, est_vel = ps.pos, ps.vel
+        elif kf_type == 1:
+            kf_in = kf_mod.KFInputs(
+                torso_rot_mat=rot,
+                torso_lin_acc_body=accel_body,
+                torso_ang_vel_body=gyro,
+                foot_pos_body=foot_body,
+                foot_lin_vel_rel=foot_vel_rel,
+                contacts=contact_prob,
+            )
+            est_state, est_pos, est_vel = kf_mod.update(
+                carry.est, kf_in, sp.wts.h, foot_height_ref=href
+            )
+        else:
+            ekf_in = ekf_mod.EkfInputs(
+                torso_lin_acc_body=accel_body,
+                torso_ang_vel_body=gyro,
+                foot_pos_body=foot_body,
+                foot_lin_vel_rel=foot_vel_rel,
+                contacts=contact_prob,
+            )
+            est_state, est_pos, est_vel = ekf_mod.update(
+                carry.est, ekf_in, sp.wts.h, foot_height_ref=href
+            )
+            # mocap at its own (slower) rate with a warm-up drop
+            sample_due = (carry.tick % mocap_every) == 0
+            if mocap_on is not None:
+                sample_due = sample_due & jnp.asarray(mocap_on)
+            mocap_count = mocap_count + sample_due.astype(jnp.int32)
+            fuse = sample_due & (mocap_count > mocap_warmup)
+            fused = ekf_mod.mocap_update(
+                est_state, ps.pos, lie.quat_to_euler(ps.quat)[2]
+            )
+            est_state = jax.tree.map(
+                lambda a, b: jnp.where(fuse, a, b), fused, est_state
+            )
+            est_pos = est_state.x[0:3]
+            est_vel = est_state.x[3:6]
+
+        fbk = RobotFeedback(
+            torso_pos_world=est_pos,
+            torso_quat=quat,
+            torso_lin_vel_world=est_vel,
+            torso_ang_vel_body=gyro,
+            foot_pos_body=foot_body,
+            foot_contact=contact_prob,
+            joint_pos=q.reshape(-1),
+            joint_vel=dq.reshape(-1),
+        )
+
+        # ---- plan in the ESTIMATED world frame
+        foot_world_est = est_pos + foot_body @ rot.T
+        vel_d_rel = jnp.stack([joy.velx, joy.vely, jnp.zeros_like(joy.velx)])
+        default_rel = jnp.asarray(
+            [[0.20, 0.14, -0.3], [0.20, -0.14, -0.3],
+             [-0.20, 0.14, -0.3], [-0.20, -0.14, -0.3]], dtype=dtype)
+        target_world, _ = raibert_mod.foothold_targets(
+            est_pos, quat, est_vel, vel_d_rel, default_rel, gait_freq
+        )
+        target_world = terrain_mod.snap_to_ground(tp, target_world)
+
+        gait = sched_mod.gait_update(
+            carry.gait, pattern, sp.wts.h, jnp.asarray(gait_freq, dtype),
+            foot_world_est, target_world, contact_prob > 0.5,
+        )
+        plan_contacts = sched_mod.contact_flags(gait, pattern).astype(dtype)
+        mpc_contacts = plan_contacts
+        if per_knot_contacts:
+            mpc_contacts = sched_mod.predict_contact_schedule(
+                gait, pattern, jnp.asarray(gait_freq, dtype), sp.wts.h,
+                horizon + 1
+            ).astype(dtype)
+
+        goal, cmd = goals.goal_update(carry.goal, fbk, joy, mpc_contacts,
+                                      dt=sp.wts.h)
+        n_stance = jnp.maximum(jnp.sum(plan_contacts), 1.0)
+        ground_z = jnp.sum(foot_world_est[:, 2] * plan_contacts) / n_stance
+        cmd = cmd._replace(
+            pos_body_d=cmd.pos_body_d.at[2].set(
+                ground_z + sp.target_height - est_pos[2]
+            )
+        )
+        terr_est, pitch_d = kterr_mod.terrain_update(
+            carry.terrain_est, foot_world_est - est_pos,
+            movement_mode=1, torso_height=est_pos[2] - ground_z,
+            contact_weights=plan_contacts,
+        )
+        eul_d = lie.quat_to_euler(cmd.quat_d)
+        cmd = cmd._replace(
+            quat_d=lie.euler_to_quat(
+                jnp.stack([eul_d[0], eul_d[1] + pitch_d, eul_d[2]])
+            )
+        )
+
+        out, _sol = grf_update(fbk, cmd, sp.wts)
+        out = out._replace(
+            grf_body=out.grf_body * plan_contacts[:, None],
+            foot_pos_target_world=gait.target_pos,
+            foot_vel_target_world=gait.target_vel,
+        )
+        targets = torque_mod.tau_ctrl_update(fbk, out, ap.rho_fix, plan_contacts)
+
+        # stance: pure torque + damping; swing: full PD (actuated convention)
+        kp_leg = ap.kp_joint * (1.0 - plan_contacts)[:, None]
+        ap_tick = ap._replace(kp_joint=kp_leg)
+        new_robot = art_mod.step(rs, targets, ap_tick, sp.wts.h, n_sub)
+
+        ground_under = terrain_mod.height(tp, new_robot.torso.pos[:2])
+        ok = safety.is_safe(new_robot.torso.quat, new_robot.dq.reshape(-1))
+        ok = ok & safety.finite_state(new_robot.torso) & (
+            new_robot.torso.pos[2] - ground_under > 0.05
+        )
+        alive = carry.alive & ok
+        kept_robot = jax.tree.map(
+            lambda new, old: jnp.where(alive, new, old), new_robot, rs
+        )
+
+        yaw = lie.quat_to_euler(kept_robot.torso.quat)[2]
+        vel_rel = lie.rotz(yaw).T @ kept_robot.torso.vel
+        true_ground = jnp.sum(
+            jnp.where(plan_contacts > 0.5,
+                      terrain_mod.height(tp, foot_world_est[:, :2]), 0.0)
+        ) / n_stance
+        metrics = EstActuatedMetrics(
+            mpc_cost=out.mpc_cost,
+            vel_err=jnp.abs(vel_rel[0] - joy.velx),
+            height_err=jnp.abs(
+                kept_robot.torso.pos[2] - true_ground - sp.target_height
+            ),
+            est_err=jnp.linalg.norm(est_pos - ps.pos),
+            alive=alive.astype(dtype),
+        )
+        return (
+            EstActuatedCarry(
+                robot=kept_robot, goal=goal, gait=gait, terrain_est=terr_est,
+                est=est_state, prev_targets=targets, prev_kp=kp_leg,
+                prev_vel=ps.vel, tick=carry.tick + 1,
+                mocap_count=mocap_count, alive=alive,
+            ),
+            metrics,
+        )
+
+    return control_step
+
+
+def init_estimated_actuated_scenario(
+    wts: quat_mpc.QuatMpcWeights,
+    height: float = 0.3,
+    dtype=jnp.float32,
+    terrain=None,
+    kf_type: int = 1,
+    pattern=None,
+    start_x: float = 0.0,
+):
+    """Actuated carry + per-kf_type estimator state; the first tick's
+    'previous command' is a hold of the initial pose (the prime-servo
+    handover state)."""
+    from quaternion_mpc_tpu.control import torque as torque_mod
+    from quaternion_mpc_tpu.est import ekf as ekf_mod
+    from quaternion_mpc_tpu.est import kf as kf_mod
+    from quaternion_mpc_tpu.sim import articulated as art_mod
+
+    base, sp = init_actuated_scenario(
+        wts, height, dtype, terrain, pattern, start_x
+    )
+    rs = base.robot
+    rot = lie.quat_to_rotmat(rs.torso.quat)
+    foot_body, _, _, _ = art_mod.foot_kinematics(rs, sp.plant)
+    if kf_type == 1:
+        est = kf_mod.init_state(rot, foot_body, dtype=dtype)
+        # warm start at the true pose — torso AND foot states (the hardware
+        # loop's prime phase does this convergence; here the scenario
+        # starts mid-operation). Leaving the feet at the cold 0.09 m prior
+        # would drag the torso estimate back through the FK residual.
+        feet_w = (foot_body @ rot.T + rs.torso.pos).reshape(-1)
+        est = est._replace(
+            x=jnp.concatenate(
+                [rs.torso.pos, jnp.zeros((3,), dtype), feet_w]
+            )
+        )
+    elif kf_type == 2:
+        est = ekf_mod.init_state(
+            rs.torso.pos, lie.quat_to_euler(rs.torso.quat), foot_body
+        )
+    else:
+        est = None
+    hold = torque_mod.JointTargets(
+        q=rs.q, dq=jnp.zeros_like(rs.q), tau=jnp.zeros_like(rs.q)
+    )
+    carry = EstActuatedCarry(
+        robot=rs, goal=base.goal, gait=base.gait, terrain_est=base.terrain_est,
+        est=est, prev_targets=hold,
+        prev_kp=jnp.broadcast_to(sp.plant.kp_joint, (4, 3)).astype(dtype),
+        prev_vel=rs.torso.vel,
+        tick=jnp.zeros((), jnp.int32),
+        mocap_count=jnp.zeros((), jnp.int32),
+        alive=jnp.asarray(True),
+    )
+    return carry, sp

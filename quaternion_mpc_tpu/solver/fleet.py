@@ -555,17 +555,23 @@ def make_fleet_solver(
     backend: "xla" | "pallas" | "pallas_interpret" | "assoc" | "auto".
     Measured on v5e (B=4096, N=10): the Pallas Riccati-sweep kernel runs at
     PARITY with the XLA path (89.4 vs 89.7 ms full solve) — the mul+sum
-    contraction form already lets XLA fuse the whole backward pass — so
-    "auto" resolves to the fixture-exact XLA path; "pallas" opts into the
+    contraction form already lets XLA fuse the whole backward pass — so the
+    large-batch path is the fixture-exact XLA sweep; "pallas" opts into the
     kernel (same algorithm, op order differs -> f32 iterate drift).
     "assoc" replaces the sequential Riccati recursion with the O(log N)
     associative-scan backward pass (solver/parallel_riccati.py) — the
-    horizon-parallel variant for long horizons / small batches.
+    horizon-parallel variant for long horizons / small batches. "auto"
+    routes the single-robot case (B == 1, the measured 1.7x assoc win and
+    the 200 Hz latency contract) to assoc and every fleet to the
+    sequential sweep — assoc loses at B=256 (1.6x) and its different op
+    order breaks bit-level fleet==single parity, so fleets stay on the
+    fixture-exact path (B is static under jit; the choice costs nothing
+    at runtime).
     """
     qi = spec.quat_idx
     ne = spec.ne
 
-    def backward(prob, xs, us, lam, rho, reg):
+    def backward(prob, xs, us, lam, rho, reg, B):
         use_pallas = backend in ("pallas", "pallas_interpret")
         if use_pallas:
             from quaternion_mpc_tpu.solver import pallas_fleet
@@ -576,7 +582,7 @@ def make_fleet_solver(
             )
             if out is not None:
                 return out
-        if backend == "assoc":
+        if backend == "assoc" or (backend == "auto" and B == 1):
             from quaternion_mpc_tpu.solver import parallel_riccati
 
             return parallel_riccati.parallel_backward(
@@ -614,7 +620,7 @@ def make_fleet_solver(
 
         def ilqr_iteration(state):
             xs, us, lam, rho, reg, J, done, n_iter = state
-            Ks, ds, dV1, dV2, gnorm = backward(prob, xs, us, lam, rho, reg)
+            Ks, ds, dV1, dV2, gnorm = backward(prob, xs, us, lam, rho, reg, B)
 
             def roll_one(alpha):
                 xs_a, us_a = rollout(

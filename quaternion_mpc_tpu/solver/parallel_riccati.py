@@ -14,7 +14,16 @@ and horizon parallelism buys little. At SMALL batch — the single-robot
 200 Hz latency contract (``Main.cpp:115``) and long horizons (N=20-30,
 ``gazebo_go1_quat_mpc.yaml:37``, ``LeggedState.cpp:116``) — the N-step
 serial chain IS the critical path, and log₂(N) combines of (ne+ne)-sized
-batched algebra shorten it. See bench.py / tests for measured numbers.
+batched algebra shorten it.
+
+Measured (v5e lite, f32, full 2AL×5iLQR solve inside a 50-tick scan,
+experiments/lat_{backends,warmstart}.py; bench.py reports the headline):
+  B=1   N=10: 4.78 ms/tick assoc vs 8.15 sequential  (1.7×)
+  B=1   N=20: 8.75 ms/tick assoc vs 16.21 sequential (1.9×)
+  B=256 N=10: 30.8 ms/tick assoc vs 19.0 sequential  (loses — lanes full)
+Hence ``make_fleet_solver(backend="auto")`` routes B == 1 here and every
+fleet to the sequential sweep (which is also bit-stable for the
+fleet==single parity tests).
 
 Formulation (conditional value elements, one per knot + one terminal):
 

@@ -38,7 +38,7 @@ def test_terrain_update_pitches_into_slope():
     # F_R_diff = 0.24 > 0.05 -> pitch = -terrain_angle (QuatMpc.cpp:328-333)
     assert float(pitch_d) < 0.0
     # downhill (front feet lower) flips the sign
-    feet_down = feet.at[:, 2].set(jnp.asarray([-0.06, -0.06, 0.06, 0.06]))
+    feet_down = feet.at[:, 2].set(jnp.asarray([-0.06, -0.06, 0.06, 0.06], jnp.float32))
     _, pitch_down = terrain.terrain_update(st, feet_down, 1, 0.3)
     assert float(pitch_down) > 0.0
 
