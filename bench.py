@@ -47,6 +47,21 @@ def _p50(fn, iters=10):
     return float(np.median(times))
 
 
+def _p50_pull(fn, iters=5):
+    """p50 wall time including a device->host PULL of the (scalar) result.
+
+    On this tunneled backend `block_until_ready` intermittently returns
+    without waiting (the lazy-dispatch mode can re-engage mid-process,
+    yielding fantasy sub-floor timings); an actual value pull cannot lie.
+    Callers subtract a pull-based no-op floor measured the same way."""
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(fn())
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -78,8 +93,11 @@ def main():
     print(f"[bench] dispatch floor (no-op jit): {floor_ms:.2f} ms", file=sys.stderr)
 
     # IMPORTANT: no device->host pulls (float()/np.asarray of jax arrays)
-    # until ALL timing loops are done — on this backend a single pull
-    # permanently degrades subsequent dispatches to ~25 ms.
+    # before the THROUGHPUT loops are done — on this backend a pull degrades
+    # subsequent dispatches to ~25 ms. The latency section afterwards pulls
+    # DELIBERATELY (_p50_pull): block_until_ready can silently no-op when
+    # the backend re-enters its lazy mode, and only a value pull is
+    # guaranteed to wait for the computation.
 
     # ---- throughput sweep (headline, quat MPC, N=10, n_alpha=8) ----
     # compile budget: each new batch shape is a fresh XLA compile (~30-90 s
@@ -149,8 +167,10 @@ def main():
             return out
 
         scan_jit = jax.jit(scan_fn)
-        jax.block_until_ready(scan_jit(*args))
-        return _p50(lambda: scan_jit(*args), iters=5) / K
+        np.asarray(scan_jit(*args))  # compile + warm
+        pull_floor = _p50_pull(lambda: noop(xz))
+        t = _p50_pull(lambda: scan_jit(*args))
+        return max(t - pull_floor, 0.0) / K
 
     lat_rows = [
         ("N=10 cold (benchmark cfg)", scanned_tick(10, opts_full, False)),

@@ -1,24 +1,38 @@
-"""Pallas TPU kernel for the fleet Riccati sweep (the solver's hot op).
+"""RETIRED — negative result. Pallas TPU kernel for the fleet Riccati sweep.
 
-The fleet AL-iLQR iteration is: expansion (dynamics Jacobians + cost
-quadratics, embarrassingly parallel over knots — XLA fuses it well) followed
-by the Riccati backward recursion (sequential over the horizon, ~10 tiny
-matmuls + one SPD solve per knot). The recursion is where XLA's fusion
-breaks down: each scan step's operands round-trip through HBM and the op
-graph fragments. This kernel runs the ENTIRE sweep for a lane-tile of
-scenarios inside VMEM (batch-last layout: B in TPU lanes, matrix dims in
-sublanes), one grid program per tile.
+Hypothesis (rounds 1-3): the Riccati backward recursion (sequential over
+the horizon, ~10 tiny matmuls + one SPD solve per knot) fragments XLA's op
+graph and round-trips operands through HBM, so running the whole sweep for
+a lane-tile of scenarios inside VMEM should beat the fused XLA path.
 
-Mosaic-lowering constraints shape the implementation (discovered
-empirically on v5e):
-- no `jnp.stack`/`concatenate` of scalar-built rows (misaligned-offset
-  concat is unimplemented) -> all matrices arrive pre-built from XLA;
-- no transposes -> contractions over the LEADING axis (`bmmT`/`bmvT`)
-  replace `bt(A) @ B`;
-- no `.at[]`/dynamic_slice -> Gauss-Jordan row updates via iota masks;
-- no closed-over array constants -> identities built from iota.
+Measured outcome on v5e (B=4096, N=10, f32): **PARITY — 89.4 ms (kernel)
+vs 89.7 ms (XLA) full solve**, stable across two rounds of tuning. The
+hypothesis' premise is false for this op: with every contraction written
+as broadcast-multiply+sum (solver/fleet.py's `bmm`/`bmv` — no dot_general,
+no scatters), XLA already fuses the entire backward pass into a few
+lane-parallel VPU kernels with negligible HBM traffic between scan steps;
+there is no fusion gap left for a hand kernel to close. The remaining
+ideas do not change the verdict:
 
-Numerics are identical to fleet.riccati_backward (same f32 mul+sum ops).
+- **Expansions in-kernel** (killing the (N, ne, ne, B) HBM staging): the
+  SRB dynamics Jacobians build matrices by stacking scalar expressions —
+  the exact pattern Mosaic's TPU lowering rejects (misaligned-offset
+  concat), so they would need a full iota-mask rewrite; and XLA fuses the
+  expansion phase too, so the staging writes are already overlapped.
+- **bf16 storage / f32 accumulation**: measured earlier (fleet.py header):
+  the MXU path's bf16 passes degraded AL-iLQR convergence (final fleet
+  cost 2.20 vs 0.42) — accuracy, not bandwidth, is binding.
+- The real latency lever turned out to be ALGORITHMIC, not codegen: the
+  associative-scan backward pass (solver/parallel_riccati.py) cuts the
+  B=1 scanned tick 1.7× where this kernel moved nothing.
+
+The code is kept here (out of the package; no production caller) as the
+working reference for Mosaic-compatible tiny-matrix algebra: transpose-free
+contractions, iota-mask Gauss-Jordan, iota identities — patterns that took
+real effort to discover and will be reused if a genuinely HBM-bound op
+appears. It was bit-for-bit equivalent to fleet.riccati_backward modulo op
+order (f32 iterate drift) when retired; run it via
+``riccati_backward_pallas(...)`` with `interpret=True` off-TPU.
 """
 
 from __future__ import annotations

@@ -214,17 +214,31 @@ def cmd_run_actuated(args) -> dict:
     tp = None
     if args.terrain != "flat":
         tp = terrain_mod.make_terrain(args.terrain, dtype=dtype)
-    carry1, sp1 = rt.init_actuated_scenario(wts, dtype=dtype, terrain=tp)
     joy1 = rt.neutral_joy(dtype)._replace(velx=jnp.asarray(args.velx, dtype))
+    if args.kf_type < 0:
+        # ground-truth feedback tier
+        carry1, sp1 = rt.init_actuated_scenario(wts, dtype=dtype, terrain=tp)
+        step1 = rt.make_actuated_walking_step(
+            horizon=args.horizon, n_sub=args.n_sub
+        )
+        metric_keys = ("vel_err", "height_err", "mpc_cost", "alive")
+    else:
+        # full Gazebo-parity loop: estimator + torque + gait + terrain
+        carry1, sp1 = rt.init_estimated_actuated_scenario(
+            wts, dtype=dtype, terrain=tp, kf_type=args.kf_type
+        )
+        step1 = rt.make_estimated_actuated_step(
+            horizon=args.horizon, n_sub=args.n_sub, kf_type=args.kf_type
+        )
+        metric_keys = ("vel_err", "height_err", "est_err", "mpc_cost", "alive")
     carry = _tile(jnp, carry1, args.batch)
     sp = _tile(jnp, sp1, args.batch)
     joy = _tile(jnp, joy1, args.batch)
-    step1 = rt.make_actuated_walking_step(horizon=args.horizon, n_sub=args.n_sub)
     return _run_loop(
         args,
         lambda: jax.vmap(step1),
         carry, joy, sp,
-        ("vel_err", "height_err", "mpc_cost", "alive"),
+        metric_keys,
     )
 
 
@@ -370,6 +384,51 @@ def cmd_run_hardware(args) -> dict:
     )
 
 
+def cmd_viz_forces(args) -> dict:
+    """Render GRF vectors along a walking run (the draw_force_plugin role):
+    run ONE actuated-trot scenario, record grf_vis telemetry frames, write
+    a PNG via utils.visualize.render_forces."""
+    jax, jnp, dtype, cfg, wts = _setup(args)
+
+    from quaternion_mpc_tpu.runtime import step as rt
+    from quaternion_mpc_tpu.sim import articulated as art_mod
+    from quaternion_mpc_tpu.sim import terrain as terrain_mod
+    from quaternion_mpc_tpu.utils import telemetry, visualize
+
+    tp = None
+    if args.terrain != "flat":
+        tp = terrain_mod.make_terrain(args.terrain, dtype=dtype)
+    carry, sp = rt.init_actuated_scenario(wts, dtype=dtype, terrain=tp)
+    joy = rt.neutral_joy(dtype)._replace(velx=jnp.asarray(args.velx, dtype))
+    step = jax.jit(rt.make_actuated_walking_step(horizon=args.horizon))
+
+    logger = telemetry.TelemetryLogger(args.log)
+    frames = []
+    for _ in range(args.steps):
+        carry, m = step(carry, sp, joy)
+        rs = carry.robot
+        _, fw, fv, _ = art_mod.foot_kinematics(rs, sp.plant)
+        f_world, _ = art_mod.contact_forces(fw, fv, sp.plant, rs.anchor)
+        rec = {
+            "ch": "grf_vis",
+            "pos": [float(v) for v in rs.torso.pos],
+            "feet": [[float(v) for v in row] for row in fw],
+            "grf": [[float(v) for v in row] for row in f_world],
+            "contacts": None,
+        }
+        frames.append(rec)
+        logger.publish_forces(rs.torso.pos, fw, f_world)
+    out_path = visualize.render_forces(
+        frames, args.out, every=max(1, args.steps // 60)
+    )
+    return {
+        "frames": len(frames),
+        "out": str(out_path),
+        "final_x": float(carry.robot.torso.pos[0]),
+        "alive": bool(carry.alive),
+    }
+
+
 def cmd_run_scenario(args) -> dict:
     """Solve a named branch scenario (falling_cat / humanoid / spider_dog)."""
     _setup(args)  # platform override + sync dispatch
@@ -408,7 +467,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--terrain", default="flat",
                    help="world: flat | slope | stairs | space")
     p.add_argument("--n_sub", type=int, default=80,
-                   help="physics substeps per MPC tick (40 = 4 kHz at h=10 ms)")
+                   help="physics substeps per MPC tick (80 = 0.125 ms at h=10 ms)")
+    p.add_argument("--kf_type", type=int, default=-1,
+                   help="-1: ground-truth feedback; 0/1/2: full estimated "
+                        "loop (truth passthrough / BasicKF / EKF+mocap)")
     p.set_defaults(fn=cmd_run_actuated)
 
     p = sub.add_parser("run_fleet", help="mesh-sharded fleet w/ checkpointing")
@@ -426,6 +488,16 @@ def build_parser() -> argparse.ArgumentParser:
     _common(p)
     p.add_argument("--name", required=True)
     p.set_defaults(fn=cmd_run_scenario)
+
+    p = sub.add_parser(
+        "viz_forces",
+        help="render GRF vectors along a trot (draw_force_plugin role)",
+    )
+    _common(p)
+    p.add_argument("--velx", type=float, default=0.4)
+    p.add_argument("--terrain", default="flat")
+    p.add_argument("--out", default="forces.png")
+    p.set_defaults(fn=cmd_viz_forces)
 
     p = sub.add_parser(
         "run_hardware",

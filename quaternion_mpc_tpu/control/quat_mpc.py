@@ -284,15 +284,22 @@ def make_controller(
     opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=5),
     zero_initial_omega: bool = True,
 ):
-    """Returns grf_update(fbk, cmd, wts) -> (ControlOutput, Solution).
+    """Returns grf_update(fbk, cmd, wts[, us_init]) -> (ControlOutput, Solution).
 
     Solver budget default mirrors the online config (iterations_max=10 at
     QuatMpc.cpp:22 — here 2 AL × 5 iLQR); jit/vmap the returned callable.
+    ``us_init``: optional (N, 12) input warm start — pass the previous
+    tick's ``sol.us`` for the reference's cross-tick warm starting
+    (SetState/SetInput, QuatMpc.cpp:250-253), which lets a reduced
+    iteration budget (RTI-style, e.g. 1 AL × 3) hold tracking quality.
     """
     solver = make_solver(MODEL_SPEC, opts)
 
-    def grf_update(fbk: RobotFeedback, cmd: Command, wts: QuatMpcWeights):
+    def grf_update(fbk: RobotFeedback, cmd: Command, wts: QuatMpcWeights,
+                   us_init=None):
         prob = build_problem(fbk, cmd, wts, horizon, zero_initial_omega)
+        if us_init is not None:
+            prob = prob._replace(us_init=us_init)
         sol = solver(prob)
         rot = lie.quat_to_rotmat(fbk.torso_quat)
         grf_body = sol.us[0].reshape(-1, 3)

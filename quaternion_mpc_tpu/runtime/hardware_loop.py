@@ -75,6 +75,7 @@ class HWCarry(NamedTuple):
     kf: kf_mod.KFState
     mode: goals.ModeState
     standup: standup.StandupState
+    gait: "object"  # gait.schedule.GaitState (walk mode, A-toggled)
 
 
 def sensors_from_lowstate(st: unitree.LowState, dtype=jnp.float32) -> HWSensors:
@@ -124,6 +125,8 @@ def make_hw_control_tick(
     horizon: int = 6,
     opts: SolverOptions = SolverOptions(al_iterations=1, ilqr_iterations=3),
     max_height_cmd_err: float = 0.05,
+    gait_freq: float = 2.2,
+    pattern=None,
 ):
     """One jittable hardware control tick with the reference's operator flow:
     sensors → sigmoid contact detection (BaseInterface.cpp:234-249) →
@@ -131,7 +134,11 @@ def make_hw_control_tick(
     the default-pose/stand-up servo (set_default_pos, GazeboInterface.cpp:
     85-111 + unitree_controller/src/body.cpp ramp) or goal update +
     quaternion MPC + torque map → (12, 5) servo command [q dq tau kp kd]
-    for the wire.
+    for the wire. An A-press (``joy.mode_switch``) toggles stand ↔ walk:
+    walk mode advances the trot FSM on the ESTIMATED foot-world anchors,
+    plans Raibert footholds from the estimated velocity, and gates the MPC
+    with the per-knot predicted contact schedule; stand mode re-anchors
+    the FSM at the current feet every tick so a later walk starts clean.
 
     ``joy`` is a raw ``goals.JoySample`` (button edges are consumed the tick
     they arrive, reference edge semantics). ``dt`` is a traced scalar — the
@@ -149,6 +156,11 @@ def make_hw_control_tick(
     launch the robot — the reference avoids this operationally by holding
     default-pose until the operator engages MPC; the clamp makes the MPC
     phase additionally robust to estimator transients."""
+    from quaternion_mpc_tpu.gait import raibert as raibert_mod
+    from quaternion_mpc_tpu.gait import schedule as sched_mod
+
+    if pattern is None:
+        pattern = sched_mod.trot_pattern()
     grf_update = quat_mpc.make_controller(horizon, opts, zero_initial_omega=False)
 
     def tick(carry: HWCarry, sensors: HWSensors, dt, joy: goals.JoySample,
@@ -220,23 +232,64 @@ def make_hw_control_tick(
             joint_pos=sensors.q,
             joint_vel=sensors.dq,
         )
-        contacts = jnp.ones((4,), dtype)
-        goal, cmd = goals.goal_update(carry.goal, fbk, joycmd, contacts, dt=dt)
+
+        # ---- gait: walk mode advances the trot FSM on estimated anchors;
+        # stand mode re-anchors it at the current feet (clean walk start)
+        walking = movement_mode == 1
+        feet_world_est = pos_w + foot_body @ rot.T
+        vel_d_rel = jnp.stack(
+            [joycmd.velx, joycmd.vely, jnp.zeros_like(joycmd.velx)]
+        )
+        default_rel = jnp.asarray(
+            [[0.20, 0.14, -0.3], [0.20, -0.14, -0.3],
+             [-0.20, 0.14, -0.3], [-0.20, -0.14, -0.3]], dtype=dtype)
+        target_world, _ = raibert_mod.foothold_targets(
+            pos_w, quat, vel_w, vel_d_rel, default_rel, gait_freq
+        )
+        target_world = target_world.at[:, 2].set(0.0)  # flat-ground demo
+        gait_adv = sched_mod.gait_update(
+            carry.gait, pattern, dt, jnp.asarray(gait_freq, dtype),
+            feet_world_est, target_world, contact > 0.5,
+        )
+        gait_hold = sched_mod.init_gait_state(feet_world_est, pattern)
+        gait = jax.tree.map(
+            lambda a, b: jnp.where(walking, a, b), gait_adv, gait_hold
+        )
+        plan_contacts = jnp.where(
+            walking, sched_mod.contact_flags(gait, pattern).astype(dtype),
+            jnp.ones((4,), dtype),
+        )
+        sched = sched_mod.predict_contact_schedule(
+            gait, pattern, jnp.asarray(gait_freq, dtype), dt, horizon + 1
+        ).astype(dtype)
+        mpc_contacts = jnp.where(
+            walking, sched, jnp.ones((horizon + 1, 4), dtype)
+        )
+
+        goal, cmd = goals.goal_update(carry.goal, fbk, joycmd, mpc_contacts, dt=dt)
         height_err = jnp.clip(
             mode.body_height - pos_w[2], -max_height_cmd_err, max_height_cmd_err
         )
         cmd = cmd._replace(pos_body_d=cmd.pos_body_d.at[2].set(height_err))
         out, _sol = grf_update(fbk, cmd, wts)
-        targets = torque_mod.tau_ctrl_update(fbk, out, rho_fix, contacts)
+        out = out._replace(
+            grf_body=out.grf_body * plan_contacts[:, None],
+            foot_pos_target_world=gait.target_pos,
+            foot_vel_target_world=gait.target_vel,
+        )
+        targets = torque_mod.tau_ctrl_update(fbk, out, rho_fix, plan_contacts)
 
         # standing (movement_mode==0) convention, BaseInterface.cpp:402-405:
         # τ_ff = −Jᵀf AND a full joint PD anchored at the MEASURED q/dq
         # (tau_ctrl_update sets q_cmd=q for stance legs). The anchor is the
         # stabilizer: between command updates the firmware PD resists any
         # drift/foot slide — with kp=0 the pure-torque stance slowly slides
-        # the feet until the legs degenerate and the robot falls.
+        # the feet until the legs degenerate and the robot falls. Walk-mode
+        # stance legs instead run pure torque + damping (the actuated-loop
+        # convention — an anchor PD would fight the body motion).
         kp = jnp.broadcast_to(kp_joint, (4, 3))
         kd = jnp.broadcast_to(kd_joint, (4, 3))
+        kp = jnp.where(walking, kp * (1.0 - plan_contacts)[:, None], kp)
         mpc_cmd = jnp.stack(
             [targets.q, targets.dq, targets.tau, kp, kd], axis=-1
         ).reshape(12, 5)
@@ -250,8 +303,14 @@ def make_hw_control_tick(
             lambda new, old: jnp.where(in_prime, old, new), goal, carry.goal
         )
         # prime→MPC handover: re-anchor the desired world position at the
-        # (now converged) estimate so MPC starts from zero position error
-        handover = carry.mode.set_default_pos & ~in_prime
+        # (now converged) estimate so MPC starts from zero position error.
+        # Same at the walk→stand edge: the position integrator accumulates
+        # any walk-phase tracking deficit (it advances at the COMMANDED
+        # velocity), and with the reference's xy position weight (2.5 vs
+        # 0.1 on velocity, gazebo_go1_quat_mpc.yaml:41-51) a wound-up
+        # anchor would drag the robot onward long after the stop command.
+        walk_stop = (carry.mode.ctrl_state == 1) & (mode.ctrl_state == 0)
+        handover = (carry.mode.set_default_pos & ~in_prime) | walk_stop
         goal = goal._replace(
             torso_pos_d_world=jnp.where(
                 handover, pos_w, goal.torso_pos_d_world
@@ -266,7 +325,11 @@ def make_hw_control_tick(
             "movement_mode": movement_mode,
             "in_prime": in_prime,
         }
-        return HWCarry(goal=goal, kf=kf_state, mode=mode, standup=st), cmd_mat, info
+        return (
+            HWCarry(goal=goal, kf=kf_state, mode=mode, standup=st, gait=gait),
+            cmd_mat,
+            info,
+        )
 
     return tick
 
@@ -475,11 +538,21 @@ def run_hardware_loopback(
         joint_pos=sensors0.q,
         joint_vel=sensors0.dq,
     )
+    from quaternion_mpc_tpu.gait import schedule as sched_mod
+
+    feet_world0 = jnp.array([0.0, 0.0, 0.09], dtype) + foot_body0 @ rot0.T
     carry = HWCarry(
-        goal=goals.init_goal_state(fbk0),
+        # goal filter window: the reference's MovingWindowFilter(100) at its
+        # 200 Hz goal rate is 0.5 s of smoothing (QuatMpc.cpp:10-11); scale
+        # the sample count to THIS loop's rate or a stop command takes
+        # 100/mpc_rate seconds to decay and the robot keeps walking
+        goal=goals.init_goal_state(
+            fbk0, window=max(1, int(round(0.5 * mpc_rate)))
+        ),
         kf=kf_mod.init_state(rot0, foot_body0, dtype=dtype),
         mode=goals.init_mode_state(target_height, dtype),
         standup=standup.init_standup(sensors0.q),
+        gait=sched_mod.init_gait_state(feet_world0, sched_mod.trot_pattern()),
     )
     joy_neutral = goals.neutral_joy_sample(dtype)
     joy_press_b = joy_neutral._replace(default_pos=jnp.asarray(True))

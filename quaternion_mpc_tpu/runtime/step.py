@@ -177,6 +177,7 @@ class WalkingCarry(NamedTuple):
     feet_world: jnp.ndarray   # (n_feet, 3) simulated foot positions
     alive: jnp.ndarray
     terrain_est: "object" = None  # kin.terrain.TerrainState (pitch adaptation)
+    us_prev: "object" = None  # (N, 12) last solution — cross-tick warm start
 
 
 class WalkingMetrics(NamedTuple):
@@ -194,6 +195,7 @@ def make_walking_step(
     zero_initial_omega: bool = False,
     per_knot_contacts: bool = True,
     controller: str = "quat",
+    warm_start: bool = False,
 ):
     """Trot-walking closed loop: gait FSM → Raibert footholds → quat-MPC →
     force application at the current stance feet.
@@ -308,7 +310,10 @@ def make_walking_step(
             jnp.stack([eul_d[0], eul_d[1] + pitch_d, eul_d[2]])
         )
         cmd = cmd._replace(quat_d=quat_d)
-        out, _sol = grf_update(fbk, cmd, sp.wts)
+        if warm_start:
+            out, _sol = grf_update(fbk, cmd, sp.wts, us_init=carry.us_prev)
+        else:
+            out, _sol = grf_update(fbk, cmd, sp.wts)
 
         # apply stance forces at the *current* feet; move swing feet to targets
         f_body = out.grf_body * plan_contacts[:, None]
@@ -340,6 +345,7 @@ def make_walking_step(
             WalkingCarry(
                 plant=kept_plant, goal=goal, gait=gait, feet_world=feet_world,
                 alive=alive, terrain_est=terr_est,
+                us_prev=_sol.us if warm_start else carry.us_prev,
             ),
             metrics,
         )
@@ -354,6 +360,8 @@ def init_walking_scenario(
     terrain=None,
     pattern=None,
     ctrl_wts=None,
+    warm_start: bool = False,
+    horizon: int = 10,
 ):
     """``wts`` (QuatMpcWeights) always defines the PLANT physical truth;
     ``ctrl_wts`` (e.g. ConvexMpcWeights) overrides the controller weights in
@@ -382,6 +390,21 @@ def init_walking_scenario(
     fbk = feedback_from_plant(ps, default_rel)
     if pattern is None:
         pattern = sched_mod.trot_pattern()
+    us_prev = None
+    if warm_start:
+        # seed with the weight-split hover inputs (the problem's default
+        # us_init shape), so tick 0 warm-starts sensibly
+        cmd0 = goals.goal_update(
+            goals.init_goal_state(fbk), fbk,
+            goals.JoyCommand(
+                velx=jnp.zeros((), dtype), vely=jnp.zeros((), dtype),
+                body_height=jnp.asarray(height, dtype),
+                roll_rate=jnp.zeros((), dtype), pitch_rate=jnp.zeros((), dtype),
+                yaw_rate=jnp.zeros((), dtype), sin_ang_vel=jnp.asarray(False),
+            ),
+            jnp.ones((4,), dtype), dt=wts.h,
+        )[1]
+        us_prev = quat_mpc.build_problem(fbk, cmd0, wts, horizon).us_init
     carry = WalkingCarry(
         plant=ps,
         goal=goals.init_goal_state(fbk),
@@ -389,6 +412,7 @@ def init_walking_scenario(
         feet_world=feet_world,
         alive=jnp.asarray(True),
         terrain_est=kterr_mod.init_terrain_state(dtype=dtype),
+        us_prev=us_prev,
     )
     sp = ScenarioParams(
         wts=wts if ctrl_wts is None else ctrl_wts, plant_params=pp,

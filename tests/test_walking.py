@@ -63,3 +63,26 @@ def test_trot_fleet_vmap():
     assert x_final[2] > 0.1
     assert x_final[3] < -0.02
     assert x_final[2] > x_final[0]
+
+
+def test_rti_warm_start_tracks():
+    """The bench's RTI latency mode (1 AL × 3 iLQR, warm-started across
+    ticks — reference cross-tick warm start, QuatMpc.cpp:250-253) holds
+    closed-loop trot tracking near the full 2×4 budget (measured: vel_err
+    0.020 vs 0.014 m/s, height_err parity). 1×2 diverges — the budget
+    floor is real, not padding."""
+    dtype = jnp.float32
+    wts = quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=dtype)
+    opts = SolverOptions(al_iterations=1, ilqr_iterations=3, penalty_initial=10.0)
+    carry, sp = rt.init_walking_scenario(wts, dtype=dtype, warm_start=True)
+    joy = rt.neutral_joy(dtype)._replace(velx=jnp.asarray(0.4, dtype))
+    step = jax.jit(rt.make_walking_step(horizon=10, opts=opts, warm_start=True))
+    vels, hs = [], []
+    for _ in range(300):
+        carry, m = step(carry, sp, joy)
+        vels.append(float(m.vel_err))
+        hs.append(float(m.height_err))
+    assert bool(carry.alive), "RTI trot fell"
+    assert float(carry.plant.pos[0]) > 0.9
+    assert np.mean(vels[-150:]) < 0.05, f"vel_err {np.mean(vels[-150:]):.4f}"
+    assert np.mean(hs[-150:]) < 0.01, f"height_err {np.mean(hs[-150:]):.4f}"
