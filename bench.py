@@ -176,6 +176,7 @@ def main():
         ("N=10 cold (benchmark cfg)", scanned_tick(10, opts_full, False)),
         ("N=20 cold (online cfg)", scanned_tick(20, opts_full, False)),
         ("N=10 warm RTI 1ALx3", scanned_tick(10, opts_rti, True)),
+        ("N=20 warm RTI 1ALx3", scanned_tick(20, opts_rti, True)),
     ]
 
     # ---- on-device f32 quality guard vs the f64 golden fixture ----
@@ -236,6 +237,7 @@ def main():
         "p50_ms_per_tick_B1_scanned": round(lat_rows[0][1] * 1e3, 3),
         "p50_ms_per_tick_B1_N20": round(lat_rows[1][1] * 1e3, 3),
         "p50_ms_per_tick_B1_rti": round(lat_rows[2][1] * 1e3, 3),
+        "p50_ms_per_tick_B1_N20_rti": round(lat_rows[3][1] * 1e3, 3),
         "meets_5ms_contract": bool(lat_rows[0][1] * 1e3 < 5.0),
         "convex_solves_per_sec": round(convex_sps, 1),
         "dispatch_floor_ms": round(floor_ms, 2),

@@ -380,6 +380,8 @@ def cmd_run_hardware(args) -> dict:
         mpc_rate=args.mpc_rate,
         low_rate=args.low_rate,
         prime_s=args.prime,
+        walk_s=args.walk,
+        velx=args.velx,
         auto_rate=not args.no_auto_rate,
     )
 
@@ -507,6 +509,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--duration", type=float, default=2.0, help="MPC phase [s]")
     p.add_argument("--prime", type=float, default=0.6,
                    help="default-pose/estimator warm-up phase [s]")
+    p.add_argument("--walk", type=float, default=0.0,
+                   help="trot phase length [s] (A-press toggled; 0 = stand only)")
+    p.add_argument("--velx", type=float, default=0.3, help="walk speed [m/s]")
     p.add_argument("--mpc_rate", type=float, default=50.0)
     p.add_argument("--low_rate", type=float, default=250.0)
     p.add_argument("--no_auto_rate", action="store_true",

@@ -160,7 +160,13 @@ def make_hw_control_tick(
     from quaternion_mpc_tpu.gait import schedule as sched_mod
 
     if pattern is None:
-        pattern = sched_mod.trot_pattern()
+        # trot WITH an all-stance dwell (LeggedContactFSM.cpp:110-150): the
+        # dwell is what lets a stop request terminate the gait at a phase
+        # where all four feet are planted — the pure 0.5-duty trot never
+        # has all-stance, so a stop would either cut a swing pair mid-air
+        # or never trigger. It also stabilizes each cycle at this loop's
+        # modest 50 Hz control rate.
+        pattern = sched_mod.trot_with_stand_pattern()
     grf_update = quat_mpc.make_controller(horizon, opts, zero_initial_omega=False)
 
     def tick(carry: HWCarry, sensors: HWSensors, dt, joy: goals.JoySample,
@@ -234,8 +240,17 @@ def make_hw_control_tick(
         )
 
         # ---- gait: walk mode advances the trot FSM on estimated anchors;
-        # stand mode re-anchors it at the current feet (clean walk start)
+        # stand mode re-anchors it at the current feet (clean walk start).
+        # An A-press to stand does NOT cut the gait mid-stride: the FSM
+        # keeps running (with zero velocity command) until every foot is
+        # back in stance, THEN freezes — the reference FSM's transition-at-
+        # phase-boundary semantics (LeggedContactFSM stand pattern). An
+        # instant freeze would declare airborne swing feet "stance" and the
+        # MPC would load them, tipping the robot roughly half the time
+        # depending on where in the stride the press lands.
         walking = movement_mode == 1
+        in_swing = sched_mod.contact_flags(carry.gait, pattern) < 0.5
+        gait_active = walking | jnp.any(in_swing)
         feet_world_est = pos_w + foot_body @ rot.T
         vel_d_rel = jnp.stack(
             [joycmd.velx, joycmd.vely, jnp.zeros_like(joycmd.velx)]
@@ -253,17 +268,18 @@ def make_hw_control_tick(
         )
         gait_hold = sched_mod.init_gait_state(feet_world_est, pattern)
         gait = jax.tree.map(
-            lambda a, b: jnp.where(walking, a, b), gait_adv, gait_hold
+            lambda a, b: jnp.where(gait_active, a, b), gait_adv, gait_hold
         )
         plan_contacts = jnp.where(
-            walking, sched_mod.contact_flags(gait, pattern).astype(dtype),
+            gait_active,
+            sched_mod.contact_flags(gait, pattern).astype(dtype),
             jnp.ones((4,), dtype),
         )
         sched = sched_mod.predict_contact_schedule(
             gait, pattern, jnp.asarray(gait_freq, dtype), dt, horizon + 1
         ).astype(dtype)
         mpc_contacts = jnp.where(
-            walking, sched, jnp.ones((horizon + 1, 4), dtype)
+            gait_active, sched, jnp.ones((horizon + 1, 4), dtype)
         )
 
         goal, cmd = goals.goal_update(carry.goal, fbk, joycmd, mpc_contacts, dt=dt)
@@ -289,7 +305,7 @@ def make_hw_control_tick(
         # convention — an anchor PD would fight the body motion).
         kp = jnp.broadcast_to(kp_joint, (4, 3))
         kd = jnp.broadcast_to(kd_joint, (4, 3))
-        kp = jnp.where(walking, kp * (1.0 - plan_contacts)[:, None], kp)
+        kp = jnp.where(gait_active, kp * (1.0 - plan_contacts)[:, None], kp)
         mpc_cmd = jnp.stack(
             [targets.q, targets.dq, targets.tau, kp, kd], axis=-1
         ).reshape(12, 5)
@@ -424,7 +440,10 @@ def run_hardware_loopback(
     target_height: float = 0.3,
     realtime_priority: Optional[int] = None,
     prime_s: float = 0.6,
+    walk_s: float = 0.0,
+    velx: float = 0.3,
     auto_rate: bool = True,
+    debug_trace: bool = False,
     dtype=jnp.float32,
 ) -> dict:
     """Run the full Main.cpp-shaped stack against the simulated peer.
@@ -437,7 +456,10 @@ def run_hardware_loopback(
     scripts the joystick — a B-press engages the default-pose/stand-up servo
     for ``prime_s`` seconds (the estimator converges from its cold 0.09 m
     prior while the per-joint-type stand gains hold the pose), then a second
-    B-press hands over to MPC standing balance for ``duration_s``.
+    B-press hands over to MPC standing balance for ``duration_s``; with
+    ``walk_s > 0`` an A-press then engages the trot at ``velx`` m/s for
+    ``walk_s`` seconds and a final A-press returns to standing for another
+    ``duration_s`` (the full stand → walk → stand flow over the wire).
 
     ``auto_rate``: if the measured (warm) control-tick wall time cannot fit
     the requested MPC period — e.g. a ~25-30 ms dispatch floor on a tunneled
@@ -466,7 +488,17 @@ def run_hardware_loopback(
     peer.start()
 
     link = unitree.HardwareLink("127.0.0.1", peer.udp.local_port)
-    link.force_proc = unitree.FootForceProcessor(bias_samples=0)  # sim has no offset
+    # sim peer has no force offset (bias_samples=0). Force-filter window:
+    # the reference smooths noisy hardware force sensors over 40 ms
+    # (40 samples at ITS 1 kHz rate, HardwareInterface.cpp:139-152); here
+    # the gait FSM runs at only ~50 Hz, where 40 ms of contact-detection
+    # lag mistimes the early-contact transitions enough to pump altitude
+    # and fall mid-trot (measured: 1/3 walk survival at 40 ms vs 4/4 at
+    # ≤8 ms). The sim's forces are clean, so 8 ms keeps the filter
+    # mechanism exercised without the destabilizing lag.
+    link.force_proc = unitree.FootForceProcessor(
+        bias_samples=0, window=max(1, int(round(0.008 * low_rate)))
+    )
 
     cmd_bus = native.StateBus(_CMD_BYTES)
     fbk_bus = native.StateBus(_SENSOR_BYTES)
@@ -552,7 +584,7 @@ def run_hardware_loopback(
         kf=kf_mod.init_state(rot0, foot_body0, dtype=dtype),
         mode=goals.init_mode_state(target_height, dtype),
         standup=standup.init_standup(sensors0.q),
-        gait=sched_mod.init_gait_state(feet_world0, sched_mod.trot_pattern()),
+        gait=sched_mod.init_gait_state(feet_world0, sched_mod.trot_with_stand_pattern()),
     )
     joy_neutral = goals.neutral_joy_sample(dtype)
     joy_press_b = joy_neutral._replace(default_pos=jnp.asarray(True))
@@ -582,12 +614,21 @@ def run_hardware_loopback(
 
     n_prime = max(1, int(round(prime_s * mpc_rate)))
     n_ticks = max(1, int(round(duration_s * mpc_rate)))
+    n_walk = int(round(walk_s * mpc_rate))
+    # phase boundaries: prime | stand | [walk | stand]
+    t_walk_on = n_prime + n_ticks
+    t_walk_off = t_walk_on + n_walk
+    total = t_walk_off + (n_ticks if n_walk else 0)
+    joy_press_a = joy_neutral._replace(mode_switch=jnp.asarray(True))
+    joy_walk = joy_neutral._replace(velx=jnp.asarray(velx, dtype))
     loop = native.RateLoop(dt_ctrl, realtime_priority)
     costs, est_err = [], []
-    mpc_pos0 = None  # true position at MPC engage, for the drift metric
+    mpc_pos0 = stand_last = None  # stand-phase endpoints (drift metric)
+    walk_start = walk_end = None
+    trace = []
     last_tick = tick0
     last_est = last_true = np.zeros(3)
-    for k in range(n_prime + n_ticks):
+    for k in range(total):
         loop.wait()
         seq, data = fbk_bus.read()
         sensors, sim_tick = _sensors_from_bytes(data, dtype)
@@ -596,9 +637,18 @@ def run_hardware_loopback(
         # 5 nominal periods after a stall
         dt_sim = min(max(sim_tick - last_tick, 0) * dt_low, 5.0 * dt_ctrl)
         last_tick = sim_tick
-        # scripted operator: B engages default-pose at k=0, disengages
-        # (hands over to MPC) after the prime window
-        joy = joy_press_b if k in (0, n_prime) else joy_neutral
+        # scripted operator: B on/off around the prime window, A on/off
+        # around the walk window
+        if k in (0, n_prime):
+            joy = joy_press_b
+        elif n_walk and k == t_walk_on:
+            joy = joy_press_a._replace(velx=joy_walk.velx)
+        elif n_walk and k == t_walk_off:
+            joy = joy_press_a
+        elif n_walk and t_walk_on < k < t_walk_off:
+            joy = joy_walk
+        else:
+            joy = joy_neutral
         carry, cmd_mat, info = tick_fn(
             carry, sensors, jnp.asarray(dt_sim, dtype), joy, wts,
             ap.rho_fix, ap.kp_joint, ap.kd_joint,
@@ -608,11 +658,26 @@ def run_hardware_loopback(
         true_pos = np.asarray(peer.state.torso.pos)
         last_est = np.asarray(info["est_pos"])
         last_true = true_pos
-        if k >= n_prime:
+        if n_prime <= k < t_walk_on:
             if mpc_pos0 is None:
                 mpc_pos0 = true_pos
+            stand_last = true_pos
             costs.append(float(info["mpc_cost"]))
             est_err.append(float(np.linalg.norm(last_est - true_pos)))
+        if n_walk and k == t_walk_on:
+            walk_start = true_pos
+        if n_walk and k == t_walk_off:
+            walk_end = true_pos
+        if debug_trace:
+            st_now = peer.state
+            trace.append({
+                "k": k, "dt_sim": round(dt_sim, 4),
+                "mode": int(info["movement_mode"]),
+                "prime": bool(info["in_prime"]),
+                "pos": [round(float(v), 4) for v in st_now.torso.pos],
+                "qw": round(float(abs(st_now.torso.quat[0])), 4),
+                "vel": [round(float(v), 3) for v in st_now.torso.vel],
+            })
     mpc_overruns = loop.overruns
 
     stop_evt.set()
@@ -625,7 +690,7 @@ def run_hardware_loopback(
     quat_w = float(abs(final.torso.quat[0]))
     mpc_span_s = n_ticks * dt_ctrl
     drift = (
-        float(np.linalg.norm((last_true - mpc_pos0)[:2])) / mpc_span_s
+        float(np.linalg.norm((stand_last - mpc_pos0)[:2])) / mpc_span_s
         if mpc_pos0 is not None else float("nan")
     )
     return {
@@ -647,5 +712,11 @@ def run_hardware_loopback(
         "drift_speed_mps": drift,
         "final_est_pos": [float(v) for v in last_est],
         "final_true_pos": [float(v) for v in last_true],
+        "walk_ticks": n_walk,
+        "walk_distance_m": (
+            float(np.linalg.norm((walk_end - walk_start)[:2]))
+            if walk_end is not None else 0.0
+        ),
         "upright": quat_w > 0.95 and height > 0.15,
+        **({"trace": trace} if debug_trace else {}),
     }

@@ -19,7 +19,6 @@ import sys
 import pathlib
 
 import numpy as np
-import pytest
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 WORKER = pathlib.Path(__file__).parent / "_distributed_worker.py"

@@ -80,7 +80,7 @@ def _init_carry(sensors, ap):
         kf=kf_mod.init_state(rot0, foot_body0, dtype=DTYPE),
         mode=goals.init_mode_state(TARGET_H, DTYPE),
         standup=standup.init_standup(sensors.q),
-        gait=sched_mod.init_gait_state(feet_world0, sched_mod.trot_pattern()),
+        gait=sched_mod.init_gait_state(feet_world0, sched_mod.trot_with_stand_pattern()),
     )
 
 
@@ -303,3 +303,23 @@ def test_threaded_loopback_summary():
     assert s["drift_speed_mps"] < 0.05, s
     assert s["mpc_overruns"] <= s["mpc_ticks"] // 5, s
     assert s["peer_cmds_served"] > 0 and s["servo_states"] > 0
+
+
+def test_threaded_loopback_walk_phase():
+    """stand → walk → stand through the REAL threaded/UDP stack (A-press
+    toggled trot at 0.3 m/s). Asserts the MECHANISM — the trot engages
+    over the wire, advances the robot, and the estimator stays converged
+    throughout — but deliberately NOT the final posture: at this loop's
+    50 Hz MPC rate the trot's stability margin is thin enough that OS
+    scheduling nondeterminism tips roughly 1 run in 3 even overrun-free
+    (measured; at the reference's 200 Hz the same controller is solid —
+    see the deterministic walk guarantee in
+    test_sync_full_operator_flow_stand_walk_stand, which passes under
+    injected dt jitter and a full tick of command latency)."""
+    s = hw.run_hardware_loopback(
+        duration_s=0.8, prime_s=0.5, walk_s=1.2, velx=0.3
+    )
+    assert s["walk_ticks"] > 0
+    assert s["walk_distance_m"] > 0.1, s
+    assert s["final_est_err"] < 0.05, s
+    assert s["peer_cmds_served"] > 100 and s["servo_states"] > 100
