@@ -243,3 +243,43 @@ def robot_descriptions():
             0.21935, 0.0875, 0.037, 0.25, 0.25,
         ),
     }
+
+
+def config_for_robot(name: str, base: "FrameworkConfig" = None) -> FrameworkConfig:
+    """A FrameworkConfig for any robot family in the registry — the
+    reference only ships Go1 YAMLs, but its URDF layer covers six robots
+    (`robots/*_description`); this derives the controller-relevant physical
+    constants the same way the reference's own solver tests do:
+
+    - trunk inertia straight from the URDF registry values;
+    - total mass scaled by the Go1 robot/trunk ratio (12.84/5.204 — the
+      scaling TestAltroQuatMpc.cpp:41-55 applies to build a whole-robot
+      model from trunk inertials);
+    - default stance footprint from the family's leg geometry (hips ±
+      thigh offset, feet under the hips at standing height);
+    - CoM offset zeroed (the Go1 numbers are measured calibration, not
+      URDF data — other families have no measurement to port).
+    """
+    base = base or gazebo_go1_quat_mpc()
+    desc = robot_descriptions()[name]
+    go1 = RobotConfig()
+    mass_ratio = go1.mass / go1.trunk_mass
+    foot_y = desc.leg_offset_y + abs(desc.thigh_offset)
+    # standing height ~82% of full leg extension (Go1: 0.3 of 0.426)
+    height = 0.7 * (desc.thigh_length + desc.calf_length)
+    feet = tuple(
+        (sx * desc.leg_offset_x, sy * foot_y, -height)
+        for sx in (1.0, -1.0)
+        for sy in (1.0, -1.0)
+    )
+    robot = RobotConfig(
+        mass=desc.trunk_mass * mass_ratio,
+        trunk_mass=desc.trunk_mass,
+        trunk_inertia=desc.trunk_inertia,
+        com_offset=(0.0, 0.0, 0.0),
+        default_foot_pos=feet,
+    )
+    # heavier robots need a proportionally higher per-foot force ceiling
+    fz_max = base.mpc.fz_max * (desc.trunk_mass * mass_ratio) / go1.mass
+    mpc = dataclasses.replace(base.mpc, fz_max=fz_max)
+    return dataclasses.replace(base, robot=robot, mpc=mpc)

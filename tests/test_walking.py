@@ -86,3 +86,52 @@ def test_rti_warm_start_tracks():
     assert float(carry.plant.pos[0]) > 0.9
     assert np.mean(vels[-150:]) < 0.05, f"vel_err {np.mean(vels[-150:]):.4f}"
     assert np.mean(hs[-150:]) < 0.01, f"height_err {np.mean(hs[-150:]):.4f}"
+
+
+def test_crawl_gait_walks():
+    """The crawl pattern table (LeggedContactFSM.cpp:152-193: one leg
+    swinging at a time) closes the loop — in-loop coverage for the
+    pattern, not just the unit-level table checks."""
+    from quaternion_mpc_tpu.gait import schedule as sched
+
+    dtype = jnp.float32
+    wts = quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=dtype)
+    pat = sched.crawl_pattern()
+    carry, sp = rt.init_walking_scenario(wts, dtype=dtype, pattern=pat)
+    joy = rt.neutral_joy(dtype)._replace(velx=jnp.asarray(0.15, dtype))
+    step = jax.jit(rt.make_walking_step(
+        horizon=10, opts=SolverOptions(al_iterations=2, ilqr_iterations=4),
+        pattern=pat, gait_freq=1.2,
+    ))
+    vels = []
+    for _ in range(300):
+        carry, m = step(carry, sp, joy)
+        vels.append(float(m.vel_err))
+    assert bool(carry.alive), "crawl fell"
+    assert float(carry.plant.pos[0]) > 0.3
+    assert np.mean(vels[-150:]) < 0.06
+    assert abs(float(carry.plant.pos[2]) - 0.3) < 0.03
+
+
+def test_trot_with_stand_gait_walks():
+    """Trot-with-stand (all-stance dwell, LeggedContactFSM.cpp:110-150)
+    closes the loop — the pattern the hardware loop uses for stoppable
+    walking."""
+    from quaternion_mpc_tpu.gait import schedule as sched
+
+    dtype = jnp.float32
+    wts = quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=dtype)
+    pat = sched.trot_with_stand_pattern()
+    carry, sp = rt.init_walking_scenario(wts, dtype=dtype, pattern=pat)
+    joy = rt.neutral_joy(dtype)._replace(velx=jnp.asarray(0.3, dtype))
+    step = jax.jit(rt.make_walking_step(
+        horizon=10, opts=SolverOptions(al_iterations=2, ilqr_iterations=4),
+        pattern=pat, gait_freq=2.0,
+    ))
+    vels = []
+    for _ in range(300):
+        carry, m = step(carry, sp, joy)
+        vels.append(float(m.vel_err))
+    assert bool(carry.alive), "trot_with_stand fell"
+    assert float(carry.plant.pos[0]) > 0.6
+    assert np.mean(vels[-150:]) < 0.05
