@@ -46,6 +46,8 @@ class ScenarioParams(NamedTuple):
     plant_params: plant.PlantParams
     target_height: jnp.ndarray
     terrain: "object" = None
+    rho_fix: "object" = None      # (4, 5) leg geometry (None -> Go1)
+    default_rel: "object" = None  # (4, 3) neutral stance feet (None -> Go1)
 
 
 def feedback_from_plant(ps: plant.PlantState, foot_pos_body) -> RobotFeedback:
@@ -62,6 +64,24 @@ def feedback_from_plant(ps: plant.PlantState, foot_pos_body) -> RobotFeedback:
         joint_pos=jnp.zeros((n_feet * 3,), dtype=dtype),
         joint_vel=jnp.zeros((n_feet * 3,), dtype=dtype),
     )
+
+
+GO1_DEFAULT_REL = (
+    (0.20, 0.14, -0.3), (0.20, -0.14, -0.3),
+    (-0.20, 0.14, -0.3), (-0.20, -0.14, -0.3),
+)
+
+
+def _sp_rho_fix(sp, dtype):
+    from quaternion_mpc_tpu.kin import leg as leg_mod
+
+    return leg_mod.go1_rho_fix(dtype) if sp.rho_fix is None else sp.rho_fix
+
+
+def _sp_default_rel(sp, dtype):
+    if sp.default_rel is None:
+        return jnp.asarray(GO1_DEFAULT_REL, dtype=dtype)
+    return sp.default_rel
 
 
 def _pinned_feet_joint_state(ps, foot_pos_body, foot_vel_world, rho_fix):
@@ -233,7 +253,7 @@ def make_walking_step(
         dtype = ps.pos.dtype
         rot = lie.quat_to_rotmat(ps.quat)
         foot_pos_body = (carry.feet_world - ps.pos) @ rot  # Rᵀ(p_f − p) rows
-        rho_fix = leg_mod.go1_rho_fix(dtype)
+        rho_fix = _sp_rho_fix(sp, dtype)
 
         contacts_now = sched_mod.contact_flags(carry.gait, pattern).astype(dtype)
         foot_vel_world = jnp.where(
@@ -255,10 +275,7 @@ def make_walking_step(
 
         # Raibert foothold targets (BaseInterface.cpp:266-288)
         vel_d_rel = jnp.stack([joy.velx, joy.vely, jnp.zeros_like(joy.velx)])
-        default_rel = jnp.asarray(
-            [[0.20, 0.14, -0.3], [0.20, -0.14, -0.3], [-0.20, 0.14, -0.3], [-0.20, -0.14, -0.3]],
-            dtype=dtype,
-        )
+        default_rel = _sp_default_rel(sp, dtype)
         target_world, _ = raibert_mod.foothold_targets(
             ps.pos, ps.quat, ps.vel, vel_d_rel, default_rel, gait_freq
         )
@@ -362,19 +379,26 @@ def init_walking_scenario(
     ctrl_wts=None,
     warm_start: bool = False,
     horizon: int = 10,
+    rho_fix=None,
+    default_rel=None,
 ):
     """``wts`` (QuatMpcWeights) always defines the PLANT physical truth;
     ``ctrl_wts`` (e.g. ConvexMpcWeights) overrides the controller weights in
-    ``ScenarioParams.wts`` when running a non-quat controller."""
+    ``ScenarioParams.wts`` when running a non-quat controller.
+    ``rho_fix``/``default_rel``: per-robot leg geometry / neutral stance
+    (None → Go1), e.g. from `utils.config.config_for_robot` +
+    `RobotDescription.rho_fix()`."""
     from quaternion_mpc_tpu.gait import schedule as sched_mod
     from quaternion_mpc_tpu.kin import terrain as kterr_mod
     from quaternion_mpc_tpu.sim import terrain as terrain_mod
 
     ps = plant.init_state(height=height, dtype=dtype)
-    default_rel = jnp.asarray(
-        [[0.20, 0.14, -0.3], [0.20, -0.14, -0.3], [-0.20, 0.14, -0.3], [-0.20, -0.14, -0.3]],
-        dtype=dtype,
-    )
+    if default_rel is None:
+        default_rel = jnp.asarray(GO1_DEFAULT_REL, dtype=dtype)
+    else:
+        default_rel = jnp.asarray(default_rel, dtype=dtype)
+    if rho_fix is not None:
+        rho_fix = jnp.asarray(rho_fix, dtype=dtype)
     feet_world = default_rel + ps.pos
     if terrain is not None:
         feet_world = terrain_mod.snap_to_ground(terrain, feet_world)
@@ -417,6 +441,7 @@ def init_walking_scenario(
     sp = ScenarioParams(
         wts=wts if ctrl_wts is None else ctrl_wts, plant_params=pp,
         target_height=jnp.asarray(height, dtype), terrain=terrain,
+        rho_fix=rho_fix, default_rel=default_rel,
     )
     return carry, sp
 
@@ -645,7 +670,7 @@ def make_estimated_walking_step(
         rot = lie.quat_to_rotmat(ps.quat)
         # encoders see the TRUE kinematics (feet pinned in world)
         foot_pos_body = (carry.feet_world - ps.pos) @ rot
-        rho_fix = leg_mod.go1_rho_fix(dtype)
+        rho_fix = _sp_rho_fix(sp, dtype)
 
         # estimated torso pos/vel per kf_type; IMU attitude/rates are true
         if kf_type == 0:
@@ -674,9 +699,7 @@ def make_estimated_walking_step(
         )
 
         vel_d_rel = jnp.stack([joy.velx, joy.vely, jnp.zeros_like(joy.velx)])
-        default_rel = jnp.asarray(
-            [[0.20, 0.14, -0.3], [0.20, -0.14, -0.3],
-             [-0.20, 0.14, -0.3], [-0.20, -0.14, -0.3]], dtype=dtype)
+        default_rel = _sp_default_rel(sp, dtype)
         # Raibert runs on the ESTIMATED velocity (BaseInterface.cpp:266-288
         # uses fbk.torso_lin_vel_* from the estimator) but true foot anchors
         target_world, _ = raibert_mod.foothold_targets(
@@ -918,9 +941,7 @@ def make_actuated_walking_step(
         )
 
         vel_d_rel = jnp.stack([joy.velx, joy.vely, jnp.zeros_like(joy.velx)])
-        default_rel = jnp.asarray(
-            [[0.20, 0.14, -0.3], [0.20, -0.14, -0.3],
-             [-0.20, 0.14, -0.3], [-0.20, -0.14, -0.3]], dtype=dtype)
+        default_rel = _sp_default_rel(sp, dtype)
         target_world, _ = raibert_mod.foothold_targets(
             ps.pos, ps.quat, ps.vel, vel_d_rel, default_rel, gait_freq
         )
@@ -1121,7 +1142,7 @@ def make_fleet_walking_step(
         dtype = ps.pos.dtype
         rot = lie.quat_to_rotmat(ps.quat)
         foot_pos_body = (carry.feet_world - ps.pos) @ rot
-        rho_fix = leg_mod.go1_rho_fix(dtype)
+        rho_fix = _sp_rho_fix(sp, dtype)
         contacts_now = sched_mod.contact_flags(carry.gait, pattern).astype(dtype)
         foot_vel_world_now = jnp.where(
             contacts_now[:, None] > 0.5, 0.0, carry.gait.target_vel
@@ -1140,9 +1161,7 @@ def make_fleet_walking_step(
             joint_vel=joint_vel.reshape(-1),
         )
         vel_d_rel = jnp.stack([joy.velx, joy.vely, jnp.zeros_like(joy.velx)])
-        default_rel = jnp.asarray(
-            [[0.20, 0.14, -0.3], [0.20, -0.14, -0.3],
-             [-0.20, 0.14, -0.3], [-0.20, -0.14, -0.3]], dtype=dtype)
+        default_rel = _sp_default_rel(sp, dtype)
         target_world, _ = raibert_mod.foothold_targets(
             ps.pos, ps.quat, ps.vel, vel_d_rel, default_rel, gait_freq
         )
@@ -1405,9 +1424,7 @@ def make_estimated_actuated_step(
         # ---- plan in the ESTIMATED world frame
         foot_world_est = est_pos + foot_body @ rot.T
         vel_d_rel = jnp.stack([joy.velx, joy.vely, jnp.zeros_like(joy.velx)])
-        default_rel = jnp.asarray(
-            [[0.20, 0.14, -0.3], [0.20, -0.14, -0.3],
-             [-0.20, 0.14, -0.3], [-0.20, -0.14, -0.3]], dtype=dtype)
+        default_rel = _sp_default_rel(sp, dtype)
         target_world, _ = raibert_mod.foothold_targets(
             est_pos, quat, est_vel, vel_d_rel, default_rel, gait_freq
         )

@@ -60,3 +60,33 @@ def test_standing_balance_other_robot(name):
     assert float(jnp.abs(carry.plant.quat[0])) > 0.999, f"{name} attitude"
     np.testing.assert_allclose(float(carry.plant.pos[2]), height, atol=0.02)
     assert float(jnp.linalg.norm(carry.plant.vel)) < 0.08
+
+
+@pytest.mark.parametrize("name,velx", [("a1", 0.35), ("aliengo", 0.35)])
+def test_trot_other_robot(name, velx):
+    """Registry geometry drives the WALKING tier end to end: per-robot
+    rho_fix (FK/IK/J) and stance footprint flow through ScenarioParams —
+    gait, Raibert, IK and the MPC model all run on the other robot's
+    dimensions with the Go1 controller weights untouched."""
+    cfg = cfg_mod.config_for_robot(name)
+    wts = quat_mpc.weights_from_config(cfg, dtype=DTYPE)
+    desc = cfg_mod.robot_descriptions()[name]
+    height = -cfg.robot.default_foot_pos[0][2]
+    carry, sp = rt.init_walking_scenario(
+        wts, height=height, dtype=DTYPE,
+        rho_fix=desc.rho_fix(), default_rel=cfg.robot.default_foot_pos,
+    )
+    joy = rt.neutral_joy(DTYPE)._replace(
+        velx=jnp.asarray(velx, DTYPE), body_height=jnp.asarray(height, DTYPE)
+    )
+    step = jax.jit(rt.make_walking_step(
+        horizon=10, opts=SolverOptions(al_iterations=2, ilqr_iterations=4)
+    ))
+    vels = []
+    for _ in range(300):
+        carry, m = step(carry, sp, joy)
+        vels.append(float(m.vel_err))
+    assert bool(carry.alive), f"{name} fell while trotting"
+    assert float(carry.plant.pos[0]) > 0.7
+    assert np.mean(vels[-150:]) < 0.06
+    np.testing.assert_allclose(float(carry.plant.pos[2]), height, atol=0.03)
