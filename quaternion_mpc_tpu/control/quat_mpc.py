@@ -296,10 +296,12 @@ def make_controller(
     solver = make_solver(MODEL_SPEC, opts)
 
     def grf_update(fbk: RobotFeedback, cmd: Command, wts: QuatMpcWeights,
-                   us_init=None):
+                   us_init=None, lam_init=None):
         prob = build_problem(fbk, cmd, wts, horizon, zero_initial_omega)
         if us_init is not None:
             prob = prob._replace(us_init=us_init)
+        if lam_init is not None:
+            prob = prob._replace(lam_init=lam_init)
         sol = solver(prob)
         rot = lie.quat_to_rotmat(fbk.torso_quat)
         grf_body = sol.us[0].reshape(-1, 3)

@@ -197,7 +197,8 @@ class WalkingCarry(NamedTuple):
     feet_world: jnp.ndarray   # (n_feet, 3) simulated foot positions
     alive: jnp.ndarray
     terrain_est: "object" = None  # kin.terrain.TerrainState (pitch adaptation)
-    us_prev: "object" = None  # (N, 12) last solution — cross-tick warm start
+    us_prev: "object" = None   # (N, 12) last solution — primal warm start
+    lam_prev: "object" = None  # (N+1, nc) last multipliers — dual warm start
 
 
 class WalkingMetrics(NamedTuple):
@@ -216,6 +217,7 @@ def make_walking_step(
     per_knot_contacts: bool = True,
     controller: str = "quat",
     warm_start: bool = False,
+    dual_warm: bool = False,
 ):
     """Trot-walking closed loop: gait FSM → Raibert footholds → quat-MPC →
     force application at the current stance feet.
@@ -328,7 +330,15 @@ def make_walking_step(
         )
         cmd = cmd._replace(quat_d=quat_d)
         if warm_start:
-            out, _sol = grf_update(fbk, cmd, sp.wts, us_init=carry.us_prev)
+            # primal warm start; dual (multiplier) carry is separately
+            # opt-in — at higher inner-iteration counts the cross-tick
+            # multiplier dynamics can destabilize (measured: 1x2 needs it,
+            # 1x3 is better off re-estimating duals each tick)
+            out, _sol = grf_update(
+                fbk, cmd, sp.wts,
+                us_init=carry.us_prev,
+                lam_init=carry.lam_prev if dual_warm else None,
+            )
         else:
             out, _sol = grf_update(fbk, cmd, sp.wts)
 
@@ -363,6 +373,7 @@ def make_walking_step(
                 plant=kept_plant, goal=goal, gait=gait, feet_world=feet_world,
                 alive=alive, terrain_est=terr_est,
                 us_prev=_sol.us if warm_start else carry.us_prev,
+                lam_prev=_sol.lam if dual_warm else carry.lam_prev,
             ),
             metrics,
         )

@@ -303,8 +303,12 @@ def make_solver(spec: ModelSpec, opts: SolverOptions = SolverOptions()):
         us = prob.us_init
 
         # multipliers: one row per stage knot + a terminal row (used only for
-        # state constraints; stays zero otherwise)
-        lam = jnp.zeros((N + 1, nc), dtype=dtype)
+        # state constraints; stays zero otherwise). lam_init = dual warm
+        # start carried from the previous tick (RTI scheme).
+        lam = (
+            jnp.zeros((N + 1, nc), dtype=dtype)
+            if prob.lam_init is None else prob.lam_init
+        )
         rho = jnp.asarray(opts.penalty_initial, dtype)
         reg = jnp.asarray(opts.reg_initial, dtype)
         total_iters = jnp.asarray(0, jnp.int32)
@@ -360,7 +364,7 @@ def make_solver(spec: ModelSpec, opts: SolverOptions = SolverOptions()):
             grad_norm=gnorm,
             iterations=total_iters,
         )
-        return Solution(xs=xs, us=us, stats=stats)
+        return Solution(xs=xs, us=us, stats=stats, lam=lam)
 
     return solve_fn
 

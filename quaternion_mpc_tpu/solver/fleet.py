@@ -193,6 +193,11 @@ class FleetProblem(NamedTuple):
     params: object
     us_init: jnp.ndarray
     Qdf: Optional[jnp.ndarray] = None  # terminal state weight (None -> Qd)
+    lam_init: Optional[jnp.ndarray] = None  # (N, nc, B) dual warm start —
+    # carrying the previous tick's multipliers across solves is the other
+    # half of the real-time-iteration scheme (us_init carries the primals);
+    # with both warm, ONE AL x ONE iLQR iteration per tick tracks in
+    # closed loop (see tests) at a fraction of the cold-start budget
 
 
 def cb_knots(cb: jnp.ndarray, n_knots: int) -> jnp.ndarray:
@@ -317,6 +322,7 @@ class FleetSolution(NamedTuple):
     us: jnp.ndarray   # (N, nu, B)
     cost: jnp.ndarray  # (B,)
     iterations: jnp.ndarray
+    lam: "object" = None  # (N, nc, B) final AL multipliers (dual warm start)
 
 
 def _eye(n: int, dtype):
@@ -593,7 +599,10 @@ def make_fleet_solver(
         xs = jnp.concatenate([xs0, xN0[None]], axis=0)
         us = prob.us_init
 
-        lam = jnp.zeros((N, nc, B), dtype=dtype)
+        lam = (
+            jnp.zeros((N, nc, B), dtype=dtype)
+            if prob.lam_init is None else prob.lam_init
+        )
         rho0 = jnp.asarray(opts.penalty_initial, dtype)
         reg0 = jnp.full((B,), opts.reg_initial, dtype=dtype)
 
@@ -681,6 +690,8 @@ def make_fleet_solver(
         final_cost = total_cost(
             spec, xs, us, prob, jnp.zeros_like(lam), jnp.asarray(1e-30, dtype)
         )
-        return FleetSolution(xs=xs, us=us, cost=final_cost, iterations=n_total)
+        return FleetSolution(
+            xs=xs, us=us, cost=final_cost, iterations=n_total, lam=lam
+        )
 
     return solve

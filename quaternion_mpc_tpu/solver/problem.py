@@ -85,6 +85,10 @@ class TrajOptProblem(NamedTuple):
     params: Any
     us_init: jnp.ndarray  # (N, nu) input warm start
     Cx: Optional[jnp.ndarray] = None
+    lam_init: Optional[jnp.ndarray] = None  # (N+1, nc) dual warm start
+    # (the other half of the real-time-iteration scheme: carrying the
+    # previous tick's AL multipliers lets ONE AL x ONE iLQR iteration
+    # per tick hold closed-loop tracking — see solver/al_ilqr.py)
 
 
 class SolverOptions(NamedTuple):
@@ -114,3 +118,4 @@ class Solution(NamedTuple):
     xs: jnp.ndarray  # (N+1, nx)
     us: jnp.ndarray  # (N, nu)
     stats: SolveStats
+    lam: Any = None  # (N+1, nc) final AL multipliers (dual warm start)
