@@ -275,8 +275,12 @@ def make_hw_control_tick(
             sched_mod.contact_flags(gait, pattern).astype(dtype),
             jnp.ones((4,), dtype),
         )
+        # Per-knot spacing is the solver discretization wts.h, NOT the
+        # measured loop dt: the MPC dynamics integrate at h, so predicted
+        # contact switches must land on the same time grid (gait_update
+        # above correctly advances phase by the measured dt).
         sched = sched_mod.predict_contact_schedule(
-            gait, pattern, jnp.asarray(gait_freq, dtype), dt, horizon + 1
+            gait, pattern, jnp.asarray(gait_freq, dtype), wts.h, horizon + 1
         ).astype(dtype)
         mpc_contacts = jnp.where(
             gait_active, sched, jnp.ones((horizon + 1, 4), dtype)

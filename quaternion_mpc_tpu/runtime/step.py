@@ -75,13 +75,15 @@ GO1_DEFAULT_REL = (
 def _sp_rho_fix(sp, dtype):
     from quaternion_mpc_tpu.kin import leg as leg_mod
 
-    return leg_mod.go1_rho_fix(dtype) if sp.rho_fix is None else sp.rho_fix
+    rho = getattr(sp, "rho_fix", None)
+    return leg_mod.go1_rho_fix(dtype) if rho is None else rho
 
 
 def _sp_default_rel(sp, dtype):
-    if sp.default_rel is None:
+    rel = getattr(sp, "default_rel", None)
+    if rel is None:
         return jnp.asarray(GO1_DEFAULT_REL, dtype=dtype)
-    return sp.default_rel
+    return rel
 
 
 def _pinned_feet_joint_state(ps, foot_pos_body, foot_vel_world, rho_fix):
@@ -426,6 +428,7 @@ def init_walking_scenario(
     if pattern is None:
         pattern = sched_mod.trot_pattern()
     us_prev = None
+    lam_prev = None
     if warm_start:
         # seed with the weight-split hover inputs (the problem's default
         # us_init shape), so tick 0 warm-starts sensibly
@@ -439,7 +442,12 @@ def init_walking_scenario(
             ),
             jnp.ones((4,), dtype), dt=wts.h,
         )[1]
-        us_prev = quat_mpc.build_problem(fbk, cmd0, wts, horizon).us_init
+        prob0 = quat_mpc.build_problem(fbk, cmd0, wts, horizon)
+        us_prev = prob0.us_init
+        # Seed lam_prev too so the carry pytree structure is stable from
+        # tick 0 under make_walking_step(dual_warm=True) — a None→array
+        # structure change after the first tick breaks lax.scan drivers.
+        lam_prev = jnp.zeros((horizon + 1, prob0.cb.shape[-1]), dtype=dtype)
     carry = WalkingCarry(
         plant=ps,
         goal=goals.init_goal_state(fbk),
@@ -448,6 +456,7 @@ def init_walking_scenario(
         alive=jnp.asarray(True),
         terrain_est=kterr_mod.init_terrain_state(dtype=dtype),
         us_prev=us_prev,
+        lam_prev=lam_prev,
     )
     sp = ScenarioParams(
         wts=wts if ctrl_wts is None else ctrl_wts, plant_params=pp,
@@ -892,6 +901,8 @@ class ActuatedScenario(NamedTuple):
     wts: quat_mpc.QuatMpcWeights
     plant: "object"           # sim.articulated.ArticulatedParams
     target_height: jnp.ndarray
+    rho_fix: "object" = None      # (4, 5) leg geometry (None -> Go1)
+    default_rel: "object" = None  # (4, 3) neutral stance feet (None -> Go1)
 
 
 def make_actuated_walking_step(

@@ -265,7 +265,7 @@ def config_for_robot(name: str, base: "FrameworkConfig" = None) -> FrameworkConf
     go1 = RobotConfig()
     mass_ratio = go1.mass / go1.trunk_mass
     foot_y = desc.leg_offset_y + abs(desc.thigh_offset)
-    # standing height ~82% of full leg extension (Go1: 0.3 of 0.426)
+    # standing height ~70% of full leg extension (Go1: 0.3/0.426 ≈ 0.70)
     height = 0.7 * (desc.thigh_length + desc.calf_length)
     feet = tuple(
         (sx * desc.leg_offset_x, sy * foot_y, -height)
