@@ -31,6 +31,13 @@ def _common(p: argparse.ArgumentParser) -> None:
                    help="config preset name (utils.config.presets)")
     p.add_argument("--log", default=None, help="telemetry JSONL path")
     p.add_argument("--f64", action="store_true", help="run in float64")
+    p.add_argument("--push", type=float, default=0.0,
+                   help="lateral shoulder-push force [N] injected on the "
+                        "torso (external_force.cpp analog); 0 = off")
+    p.add_argument("--push-at", type=int, default=40,
+                   help="control tick the push window starts")
+    p.add_argument("--push-ticks", type=int, default=10,
+                   help="push window length in control ticks")
 
 
 def _setup(args):
@@ -103,12 +110,35 @@ def _run_loop(args, make_step, init_carry, joy, sp, metric_names):
 
     vstep = make_step()
 
-    def body(carry, _):
-        return vstep(carry, sp, joy)
+    push = float(getattr(args, "push", 0.0) or 0.0)
+    if push != 0.0:
+        # world-frame shove at a point 0.1 m above the CoM for a window of
+        # ticks (the reference's external_force push tool)
+        from quaternion_mpc_tpu.sim import plant as plant_mod
 
-    @jax.jit
-    def run(carry):
-        return jax.lax.scan(body, carry, None, length=args.steps)
+        dtype = jnp.asarray(sp.target_height).dtype
+        f = jnp.asarray([0.0, push, 0.0], dtype)
+        tq = jnp.cross(jnp.asarray([0.0, 0.0, 0.1], dtype), f)
+        ext_on = _tile(jnp, plant_mod.ExtWrench(f, tq), args.batch)
+        t0, nt = args.push_at, args.push_ticks
+
+        def body(carry, t):
+            on = (t >= t0) & (t < t0 + nt)
+            ext = jax.tree.map(
+                lambda a: jnp.where(on, a, jnp.zeros_like(a)), ext_on
+            )
+            return vstep(carry, sp, joy, ext_wrench=ext)
+
+        @jax.jit
+        def run(carry):
+            return jax.lax.scan(body, carry, jnp.arange(args.steps))
+    else:
+        def body(carry, _):
+            return vstep(carry, sp, joy)
+
+        @jax.jit
+        def run(carry):
+            return jax.lax.scan(body, carry, None, length=args.steps)
 
     t0 = time.perf_counter()
     carry, metrics = run(init_carry)

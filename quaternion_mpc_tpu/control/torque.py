@@ -35,9 +35,10 @@ def tau_ctrl_update(
     q = fbk.joint_pos.reshape(n_legs, 3)
     dq = fbk.joint_vel.reshape(n_legs, 3)
 
-    # swing: world target → body, IK (BaseInterface.cpp:349-355)
+    # swing: world target → body, IK with hip branch nearest the measured q
+    # (BaseInterface.cpp:349-355 calls inv_kin with cur_q)
     foot_target_body = (out.foot_pos_target_world - fbk.torso_pos_world) @ rot
-    q_tgt = leg.ik(foot_target_body, rho_fix)
+    q_tgt = leg.ik_near(foot_target_body, rho_fix, q)
 
     foot_vel_body = (out.foot_vel_target_world - fbk.torso_lin_vel_world) @ rot
     J = leg.jac(q, rho_fix)

@@ -85,6 +85,49 @@ def ik(p: jnp.ndarray, rho_fix: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([q1, q2, q3], axis=-1)
 
 
+def ik_near(p: jnp.ndarray, rho_fix: jnp.ndarray, q_now: jnp.ndarray) -> jnp.ndarray:
+    """Analytic IK with hip-roll branch selection from the current joints.
+
+    The frontal-plane circle admits two hip-roll solutions (in-plane
+    extension e = ±s); the reference picks whichever lands nearest the
+    measured q1 (``A1Kinematics.h:44-50``, ``A1Kinematics.cpp:335-423`` —
+    only the hip branch is selected there; the knee is always the backward
+    fold, which we keep). Branchless: both candidates are computed and
+    selected per leg with a wrapped angular distance, so the function stays
+    vmap/jit-friendly.
+
+    p: (..., 3) target foot position in body frame; q_now: (..., 3).
+    """
+    ox, oy, d, lt, lc = (rho_fix[..., i] for i in range(5))
+    px = p[..., 0] - ox
+    py = p[..., 1] - oy
+    pz = p[..., 2]
+
+    r2 = py * py + pz * pz
+    s2 = jnp.maximum(r2 - d * d, 1e-12)
+    s = jnp.sqrt(s2)
+    base = jnp.arctan2(pz, py)
+    off = jnp.arctan2(s, d)
+
+    def wrap(a):
+        return jnp.mod(a + jnp.pi, 2 * jnp.pi) - jnp.pi
+
+    q1a = wrap(base + off)   # e = +s (foot below the hip axis — stance branch)
+    q1b = wrap(base - off)   # e = -s (leg folded over the hip axis)
+    q1_now = q_now[..., 0]
+    pick_a = jnp.abs(wrap(q1a - q1_now)) <= jnp.abs(wrap(q1b - q1_now))
+    q1 = jnp.where(pick_a, q1a, q1b)
+    e = jnp.where(pick_a, s, -s)
+
+    dist2 = jnp.clip(px * px + s2, (lt - lc) ** 2 + 1e-12, (lt + lc) ** 2 - 1e-12)
+    cos_knee = (dist2 - lt * lt - lc * lc) / (2.0 * lt * lc)
+    q3 = -jnp.arccos(jnp.clip(cos_knee, -1.0, 1.0))
+    q2 = jnp.arctan2(-px, e) - jnp.arctan2(
+        lc * jnp.sin(q3), lt + lc * jnp.cos(q3)
+    )
+    return jnp.stack([q1, q2, q3], axis=-1)
+
+
 def foot_velocity(q, dq, rho_fix):
     """Body-frame foot velocity J(q)·dq. Shapes (..., 3) each."""
     return jnp.einsum("...ij,...j->...i", jac(q, rho_fix), dq)

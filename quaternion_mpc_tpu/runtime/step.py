@@ -154,7 +154,8 @@ def make_standing_step(
     """
     grf_update = _make_grf_update(controller, horizon, opts, zero_initial_omega)
 
-    def control_step(carry: ScenarioCarry, sp: ScenarioParams, joy: goals.JoyCommand):
+    def control_step(carry: ScenarioCarry, sp: ScenarioParams,
+                     joy: goals.JoyCommand, ext_wrench=None):
         fbk = feedback_from_plant(carry.plant, sp.plant_params.foot_pos_body)
         contacts = jnp.ones_like(fbk.foot_contact)
         goal, cmd = goals.goal_update(carry.goal, fbk, joy, contacts, dt=sp.wts.h)
@@ -169,7 +170,9 @@ def make_standing_step(
         dt_sub = sp.wts.h / plant_substeps
         new_plant = carry.plant
         for _ in range(plant_substeps):
-            new_plant = plant.step(new_plant, out.grf_body, sp.plant_params, dt_sub)
+            new_plant = plant.step(
+                new_plant, out.grf_body, sp.plant_params, dt_sub, ext_wrench
+            )
 
         ok = safety.is_safe(new_plant.quat, fbk.joint_vel)
         ok = ok & safety.finite_state(new_plant)
@@ -252,7 +255,8 @@ def make_walking_step(
     # impedance the SRB plant doesn't model.
     grf_update = _make_grf_update(controller, horizon, opts, zero_initial_omega)
 
-    def control_step(carry: WalkingCarry, sp: ScenarioParams, joy: goals.JoyCommand):
+    def control_step(carry: WalkingCarry, sp: ScenarioParams,
+                     joy: goals.JoyCommand, ext_wrench=None):
         ps = carry.plant
         dtype = ps.pos.dtype
         rot = lie.quat_to_rotmat(ps.quat)
@@ -347,7 +351,7 @@ def make_walking_step(
         # apply stance forces at the *current* feet; move swing feet to targets
         f_body = out.grf_body * plan_contacts[:, None]
         pp = sp.plant_params._replace(foot_pos_body=foot_pos_body)
-        new_plant = plant.step(ps, f_body, pp, sp.wts.h)
+        new_plant = plant.step(ps, f_body, pp, sp.wts.h, ext_wrench)
         feet_world = jnp.where(
             plan_contacts[:, None] > 0.5, carry.feet_world, gait.target_pos
         )
@@ -528,7 +532,8 @@ def make_estimated_standing_step(
 
     grf_update = quat_mpc.make_controller(horizon, opts)
 
-    def control_step(carry: EstimatedCarry, sp: ScenarioParams, joy: goals.JoyCommand):
+    def control_step(carry: EstimatedCarry, sp: ScenarioParams,
+                     joy: goals.JoyCommand, ext_wrench=None):
         ps = carry.plant
         rot = lie_mod.quat_to_rotmat(ps.quat)
         # feet are pinned to the ground: leg kinematics reflect the TRUE
@@ -558,7 +563,7 @@ def make_estimated_standing_step(
         pp = sp.plant_params._replace(foot_pos_body=foot_body)
         new_plant = ps
         for _ in range(plant_substeps):
-            new_plant = plant.step(new_plant, out.grf_body, pp, dt_sub)
+            new_plant = plant.step(new_plant, out.grf_body, pp, dt_sub, ext_wrench)
 
         # KF tick: IMU specific force = Σf_body / m (a_w = R·Σf/m + g)
         acc_body = jnp.sum(out.grf_body, axis=0) / sp.plant_params.mass
@@ -683,7 +688,7 @@ def make_estimated_walking_step(
 
     def control_step(
         carry: EstWalkingCarry, sp: ScenarioParams, joy: goals.JoyCommand,
-        mocap_on=None,
+        mocap_on=None, ext_wrench=None,
     ):
         ps = carry.plant
         dtype = ps.pos.dtype
@@ -762,7 +767,7 @@ def make_estimated_walking_step(
 
         f_body = out.grf_body * plan_contacts[:, None]
         pp = sp.plant_params._replace(foot_pos_body=foot_pos_body)
-        new_plant = plant.step(ps, f_body, pp, sp.wts.h)
+        new_plant = plant.step(ps, f_body, pp, sp.wts.h, ext_wrench)
         feet_world = jnp.where(
             plan_contacts[:, None] > 0.5, carry.feet_world, gait.target_pos
         )
@@ -936,7 +941,8 @@ def make_actuated_walking_step(
         pattern = sched_mod.trot_pattern()
     grf_update = quat_mpc.make_controller(horizon, opts, zero_initial_omega=False)
 
-    def control_step(carry: ActuatedCarry, sp: ActuatedScenario, joy: goals.JoyCommand):
+    def control_step(carry: ActuatedCarry, sp: ActuatedScenario,
+                     joy: goals.JoyCommand, ext_wrench=None):
         rs = carry.robot
         ap = sp.plant
         ps = rs.torso
@@ -1015,7 +1021,7 @@ def make_actuated_walking_step(
         # Unitree stance convention); swing legs: full PD tracking
         kp_leg = ap.kp_joint * (1.0 - plan_contacts)[:, None]
         ap_tick = ap._replace(kp_joint=kp_leg)
-        new_robot = art_mod.step(rs, targets, ap_tick, sp.wts.h, n_sub)
+        new_robot = art_mod.step(rs, targets, ap_tick, sp.wts.h, n_sub, ext_wrench)
 
         ground_under = terrain_mod.height(tp, new_robot.torso.pos[:2])
         ok = safety.is_safe(new_robot.torso.quat, new_robot.dq.reshape(-1))
@@ -1111,11 +1117,13 @@ def make_fleet_standing_step(
         )
         return fbk, cmd, goal
 
-    def post(carry: ScenarioCarry, sp: ScenarioParams, goal, quat_d, grf_body, cost):
+    def post(carry: ScenarioCarry, sp: ScenarioParams, goal, quat_d, grf_body,
+             cost, ext):
         dt_sub = sp.wts.h / plant_substeps
         new_plant = carry.plant
         for _ in range(plant_substeps):
-            new_plant = plant.step(new_plant, grf_body, sp.plant_params, dt_sub)
+            new_plant = plant.step(new_plant, grf_body, sp.plant_params,
+                                   dt_sub, ext)
         ok = safety.is_safe(new_plant.quat, jnp.zeros((12,), new_plant.pos.dtype))
         ok = ok & safety.finite_state(new_plant)
         alive = carry.alive & ok
@@ -1130,10 +1138,12 @@ def make_fleet_standing_step(
         )
         return ScenarioCarry(plant=kept_plant, goal=goal, alive=alive), metrics
 
-    def fleet_step(carry, sp, joy):
+    def fleet_step(carry, sp, joy, ext_wrench=None):
         fbk, cmd, goal = jax.vmap(pre)(carry, sp, joy)
         _, grf_body, cost = fleet_grf(fbk, cmd, sp.wts)
-        return jax.vmap(post)(carry, sp, goal, cmd.quat_d, grf_body, cost)
+        return jax.vmap(post)(
+            carry, sp, goal, cmd.quat_d, grf_body, cost, ext_wrench
+        )
 
     return fleet_step
 
@@ -1225,12 +1235,12 @@ def make_fleet_walking_step(
         return fbk, cmd, goal, gait, plan_contacts, foot_pos_body, terr_est, ground_z
 
     def post(carry, sp, joy, goal, gait, plan_contacts, foot_pos_body, terr_est,
-             ground_z, grf_body, cost):
+             ground_z, grf_body, cost, ext):
         ps = carry.plant
         dtype = ps.pos.dtype
         f_body = grf_body * plan_contacts[:, None]
         pp = sp.plant_params._replace(foot_pos_body=foot_pos_body)
-        new_plant = plant.step(ps, f_body, pp, sp.wts.h)
+        new_plant = plant.step(ps, f_body, pp, sp.wts.h, ext)
         feet_world = jnp.where(
             plan_contacts[:, None] > 0.5, carry.feet_world, gait.target_pos
         )
@@ -1260,13 +1270,13 @@ def make_fleet_walking_step(
             metrics,
         )
 
-    def fleet_step(carry, sp, joy):
+    def fleet_step(carry, sp, joy, ext_wrench=None):
         (fbk, cmd, goal, gait, plan_contacts, foot_pos_body, terr_est,
          ground_z) = jax.vmap(pre)(carry, sp, joy)
         _, grf_body, cost = fleet_grf(fbk, cmd, sp.wts)
         return jax.vmap(post)(
             carry, sp, joy, goal, gait, plan_contacts, foot_pos_body, terr_est,
-            ground_z, grf_body, cost
+            ground_z, grf_body, cost, ext_wrench
         )
 
     return fleet_step
@@ -1350,7 +1360,7 @@ def make_estimated_actuated_step(
     grf_update = quat_mpc.make_controller(horizon, opts, zero_initial_omega=False)
 
     def control_step(carry: EstActuatedCarry, sp: ActuatedScenario,
-                     joy: goals.JoyCommand, mocap_on=None):
+                     joy: goals.JoyCommand, mocap_on=None, ext_wrench=None):
         rs = carry.robot
         ap = sp.plant
         ps = rs.torso
@@ -1496,7 +1506,7 @@ def make_estimated_actuated_step(
         # stance: pure torque + damping; swing: full PD (actuated convention)
         kp_leg = ap.kp_joint * (1.0 - plan_contacts)[:, None]
         ap_tick = ap._replace(kp_joint=kp_leg)
-        new_robot = art_mod.step(rs, targets, ap_tick, sp.wts.h, n_sub)
+        new_robot = art_mod.step(rs, targets, ap_tick, sp.wts.h, n_sub, ext_wrench)
 
         ground_under = terrain_mod.height(tp, new_robot.torso.pos[:2])
         ok = safety.is_safe(new_robot.torso.quat, new_robot.dq.reshape(-1))

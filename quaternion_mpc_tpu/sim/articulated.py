@@ -198,10 +198,14 @@ def contact_forces(foot_world, foot_vel_world, p: ArticulatedParams,
     return fn[:, None] * n + ft * in_contact, new_anchor
 
 
-def substep(s: ArticulatedState, targets: JointTargets, p: ArticulatedParams, dt):
+def substep(s: ArticulatedState, targets: JointTargets, p: ArticulatedParams, dt,
+            ext=None):
     """One physics substep under the explicit PD+τff send law (the Gazebo
     joint controller evaluated at sim rate against zero-order-hold targets,
-    ``GazeboInterface.cpp:116-124``)."""
+    ``GazeboInterface.cpp:116-124``).
+
+    ``ext``: optional `plant.ExtWrench` disturbance on the torso (push
+    injection, counterpart of ``unitree_controller/src/external_force.cpp``)."""
     rot = lie.quat_to_rotmat(s.torso.quat)
     foot_body, foot_world, foot_vel_world, J = foot_kinematics(s, p)
     f_world, anchor = contact_forces(
@@ -228,7 +232,7 @@ def substep(s: ArticulatedState, targets: JointTargets, p: ArticulatedParams, dt
 
     # torso SRB forced by the contact forces at the foot points
     tp = p.torso._replace(foot_pos_body=foot_body)
-    deriv = plant_mod.dynamics(s.torso, f_body, tp)
+    deriv = plant_mod.dynamics(s.torso, f_body, tp, ext)
 
     # semi-implicit Euler: velocities first, then positions with new velocities
     dq_new = s.dq + dt * ddq
@@ -255,6 +259,7 @@ def step(
     p: ArticulatedParams,
     dt_ctrl,
     n_sub: int = 80,
+    ext=None,
 ) -> ArticulatedState:
     """Integrate one control period (default: 80 × 0.125 ms per 10 ms MPC
     tick) with zero-order-hold joint targets; PD is re-evaluated against
@@ -271,7 +276,7 @@ def step(
     dt = dt_ctrl / n_sub
 
     def body(state, _):
-        return substep(state, targets, p, dt), None
+        return substep(state, targets, p, dt, ext), None
 
     out, _ = jax.lax.scan(body, s, None, length=n_sub)
     return out

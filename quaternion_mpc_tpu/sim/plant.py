@@ -35,6 +35,24 @@ class PlantState(NamedTuple):
     omega: jnp.ndarray  # (3,) body
 
 
+class ExtWrench(NamedTuple):
+    """External disturbance wrench on the torso — the counterpart of the
+    reference's push tool (``unitree_controller/src/external_force.cpp``),
+    which publishes an operator wrench onto the trunk. Force in the WORLD
+    frame (a push is world-directed regardless of attitude), torque about
+    the CoM in the BODY frame."""
+
+    force_world: jnp.ndarray  # (3,) N
+    torque_body: jnp.ndarray  # (3,) N·m
+
+
+def zero_wrench(dtype=jnp.float32) -> ExtWrench:
+    return ExtWrench(
+        force_world=jnp.zeros((3,), dtype=dtype),
+        torque_body=jnp.zeros((3,), dtype=dtype),
+    )
+
+
 def init_state(height: float = 0.3, dtype=jnp.float32) -> PlantState:
     return PlantState(
         pos=jnp.array([0.0, 0.0, height], dtype=dtype),
@@ -63,8 +81,11 @@ def _inv3(A):
     return adj / det
 
 
-def dynamics(s: PlantState, f_body: jnp.ndarray, p: PlantParams):
-    """Continuous derivatives given per-foot body-frame forces (n_feet, 3)."""
+def dynamics(s: PlantState, f_body: jnp.ndarray, p: PlantParams,
+             ext: ExtWrench | None = None):
+    """Continuous derivatives given per-foot body-frame forces (n_feet, 3).
+
+    ``ext``: optional external disturbance wrench (push injection)."""
     rot = lie.quat_to_rotmat(s.quat)
     g_world = jnp.array([0.0, 0.0, -GRAVITY], dtype=s.pos.dtype)
 
@@ -73,6 +94,9 @@ def dynamics(s: PlantState, f_body: jnp.ndarray, p: PlantParams):
     moment = moment + jnp.cross(p.com_offset, p.com_mass * (rot.T @ g_world))
     # full rotational dynamics (plant keeps the gyroscopic term the MPC drops)
     moment = moment - jnp.cross(s.omega, p.inertia @ s.omega)
+    if ext is not None:
+        total_f_world = total_f_world + ext.force_world
+        moment = moment + ext.torque_body
 
     return PlantState(
         pos=s.vel,
@@ -82,10 +106,11 @@ def dynamics(s: PlantState, f_body: jnp.ndarray, p: PlantParams):
     )
 
 
-def step(s: PlantState, f_body: jnp.ndarray, p: PlantParams, dt) -> PlantState:
+def step(s: PlantState, f_body: jnp.ndarray, p: PlantParams, dt,
+         ext: ExtWrench | None = None) -> PlantState:
     """Semi-implicit RK2 (midpoint) step + quaternion renormalization."""
-    k1 = dynamics(s, f_body, p)
+    k1 = dynamics(s, f_body, p, ext)
     mid = PlantState(*(a + 0.5 * dt * b for a, b in zip(s, k1)))
-    k2 = dynamics(mid, f_body, p)
+    k2 = dynamics(mid, f_body, p, ext)
     out = PlantState(*(a + dt * b for a, b in zip(s, k2)))
     return out._replace(quat=lie.quat_normalize(out.quat))

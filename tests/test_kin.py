@@ -74,3 +74,48 @@ def test_torque_force_round_trip():
     tau = leg.joint_torques_from_force(q, f, rho)
     f_rec = leg.foot_force_from_torques(q, -tau, rho)
     np.testing.assert_allclose(f_rec, f, atol=1e-9)
+
+
+def test_ik_near_matches_ik_on_default_branch():
+    """Seeded with ik's own (foot-below) solution, ik_near reproduces it."""
+    rho = leg.go1_rho_fix()
+    for leg_idx in range(4):
+        q = random_q(jax.random.PRNGKey(10 + leg_idx), 64)
+        p = leg.fk(q, rho[leg_idx])
+        q_a = leg.ik(p, rho[leg_idx])
+        q_b = leg.ik_near(p, rho[leg_idx], q_a)
+        np.testing.assert_allclose(q_a, q_b, atol=1e-9)
+
+
+def test_ik_near_recovers_true_joints_any_branch():
+    """ik_near(fk(q), q) == q for random q spanning BOTH hip branches —
+    the exact current-q recovery ik() alone cannot provide (it pins e=+s,
+    so folded configurations round-trip to the other pre-image)."""
+    rho = leg.go1_rho_fix()
+    for leg_idx in range(4):
+        q = random_q(jax.random.PRNGKey(20 + leg_idx), 128)
+        p = leg.fk(q, rho[leg_idx])
+        q_rec = leg.ik_near(p, rho[leg_idx], q)
+        np.testing.assert_allclose(q_rec, q, atol=1e-8)
+
+
+def test_ik_near_selects_folded_branch():
+    """Targets reachable by both hip branches: ik_near picks the branch
+    nearest the CURRENT joints (A1Kinematics.h:44-50), and both selected
+    solutions are exact FK pre-images."""
+    rho = leg.go1_rho_fix()
+    for leg_idx in range(4):
+        # a folded-over configuration: hip rolled far, leg over the hip axis
+        q_folded = jnp.array([[2.4, 0.4, -1.4], [2.8, 0.9, -1.8]])
+        p = leg.fk(q_folded, rho[leg_idx])
+        # from a nominal pose the solver picks the stance branch...
+        q_nom = jnp.tile(jnp.array([0.0, 0.75, -1.5]), (2, 1))
+        q_stance = leg.ik_near(p, rho[leg_idx], q_nom)
+        # ...from the folded pose it picks (and exactly recovers) the fold
+        q_fold_rec = leg.ik_near(p, rho[leg_idx], q_folded)
+        np.testing.assert_allclose(q_fold_rec, q_folded, atol=1e-9)
+        # both are valid pre-images of the same foot position
+        np.testing.assert_allclose(leg.fk(q_stance, rho[leg_idx]), p, atol=1e-9)
+        np.testing.assert_allclose(leg.fk(q_fold_rec, rho[leg_idx]), p, atol=1e-9)
+        # and they genuinely differ in hip branch
+        assert np.all(np.abs(np.asarray(q_stance[:, 0] - q_folded[:, 0])) > 0.3)
