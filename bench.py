@@ -100,6 +100,109 @@ def _install_partial_dump():
         pass
 
 
+# TPU v5e (lite) single-chip peaks, from the public spec table
+# (cloud.google.com/tpu/docs/v5e): 197 TFLOP/s bf16, ~98.5 TFLOP/s f32
+# (MXU issues f32 at half bf16 rate), 819 GB/s HBM bandwidth.
+V5E_PEAK_F32 = 98.5e12
+V5E_PEAK_BF16 = 197e12
+V5E_HBM_GBPS = 819e9
+
+
+_FLOP_COUNT_CACHE = {}
+
+
+def _flops_per_solve(horizon, opts, dtype, count_batch=256):
+    """True flops+bytes per MPC solve, from XLA's cost analysis of a
+    fully-UNROLLED compile of the same solver program.
+
+    XLA counts a lax.scan body ONCE regardless of trip count, so the rolled
+    production program under-counts by ~the iteration product (measured 20x
+    at 2AL x 5iLQR x N=10). `make_fleet_solver(unroll_scans=True)` inlines
+    every horizon/iteration scan — identical math, honest count. Counted at
+    B=256 (flops/solve is batch-invariant; verified across the sweep)."""
+    import jax
+
+    key = (horizon, opts, str(dtype), count_batch)
+    if key in _FLOP_COUNT_CACHE:
+        return _FLOP_COUNT_CACHE[key]
+    from __graft_entry__ import _example_batch
+    from quaternion_mpc_tpu.control import quat_mpc
+    from quaternion_mpc_tpu.solver import fleet as fl
+
+    solver = fl.make_fleet_solver(
+        quat_mpc._fleet_spec(), opts, backend="xla", unroll_scans=True
+    )
+
+    def count_fn(fbk, cmd, wts):
+        prob = quat_mpc.build_fleet_problem(fbk, cmd, wts, horizon)
+        sol = solver(prob)
+        return sol.cost
+
+    args = _example_batch(batch=count_batch, horizon=horizon, dtype=dtype)
+    try:
+        ca = jax.jit(count_fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) / count_batch
+        bts = float(ca.get("bytes accessed", 0.0)) / count_batch
+    except Exception as e:
+        print(f"[bench] mfu: flop count unavailable ({e})", file=sys.stderr)
+        flops, bts = 0.0, 0.0
+    _FLOP_COUNT_CACHE[key] = (flops, bts)
+    return flops, bts
+
+
+def _mfu_from_compiled(horizon, opts, dtype, p50_s, batch):
+    """Ground the 'speed-of-light' claim in a measured roofline position.
+
+    Derivation (the 10-line version):
+    1. flops/solve from XLA cost analysis of the UNROLLED solver compile
+       (scan bodies inlined — see _flops_per_solve; a rolled compile
+       under-counts ~20x).
+    2. One fleet step = one MPC solve per scenario: 2 AL x 5 iLQR, each =
+       Riccati backward + 8-alpha rollout + cost, N=10, n=13/m=12.
+    3. achieved FLOP/s = flops/solve x batch / measured p50 step time.
+    4. mfu_pct = achieved / 98.5 TFLOP/s (v5e f32 peak; the solve runs f32,
+       so the f32 MXU rate is the honest denominator — against the bf16
+       peak the number halves).
+    5. bytes/solve (same analysis) is OP-LEVEL traffic — every op's
+       operands+results, whether they hit HBM or stay VMEM-resident — so
+       op-GB/s can exceed the 819 GB/s HBM pipe; it still fixes the
+       arithmetic intensity (flop/byte ~0.5 vs the v5e f32 ridge ~120),
+       which is the roofline verdict: the solve sits 240x left of the
+       compute knee — bandwidth/latency-bound. Single-digit MFU is the
+       expected truth for 12/13-dim Riccati algebra: lane utilization is
+       bounded by 12/128 in any non-padded layout, and padding the ne axis
+       to 128 was measured slower (round-2 Pallas negative result) — the
+       headline metric is solves/s, and the roofline shows which wall it
+       sits against (bandwidth/latency, not compute).
+    """
+    flops, bts = _flops_per_solve(horizon, opts, dtype)
+    if flops <= 0.0:
+        return None
+    achieved = flops * batch / p50_s
+    opbw = bts * batch / p50_s
+    intensity = flops / max(bts, 1.0)
+    out = {
+        "flops_per_solve": round(flops, 1),
+        "bytes_per_solve": round(bts, 1),
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "mfu_pct": round(100.0 * achieved / V5E_PEAK_F32, 2),
+        "arith_intensity_flop_per_byte": round(intensity, 3),
+    }
+    print(
+        f"[bench] roofline @ B={batch}: {out['flops_per_solve']:,.0f} "
+        f"flop/solve, {out['bytes_per_solve']:,.0f} op-B/solve "
+        f"(intensity {intensity:.2f} flop/B vs f32 ridge "
+        f"{V5E_PEAK_F32/V5E_HBM_GBPS:.0f}), "
+        f"{out['achieved_tflops']} TFLOP/s achieved = {out['mfu_pct']}% of "
+        f"f32 peak ({V5E_PEAK_F32/1e12:.1f} T); op-level traffic "
+        f"{opbw/1e9:.0f} GB/s (VMEM-resident reuse included)",
+        file=sys.stderr,
+    )
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -147,6 +250,7 @@ def main():
     step_jit = jax.jit(quat_mpc.make_fleet_controller(horizon, opts_tp))
     best = None
     sweep = []
+    mfu = None
     for batch in (256, 4096, 16384):
         args = _example_batch(batch=batch, horizon=horizon, dtype=dtype)
         args = jax.device_put(args, dev)
@@ -158,6 +262,9 @@ def main():
             best = (batch / p50, p50, batch)
         _PARTIAL["value"] = round(best[0], 1)
         _PARTIAL["vs_baseline"] = round(best[0] / 200.0, 2)
+    mfu = _mfu_from_compiled(horizon, opts_tp, dtype, best[1], best[2])
+    if mfu:
+        _PARTIAL.update(mfu)
 
     # ---- convex MPC (Euler baseline) throughput ----
     from quaternion_mpc_tpu.control import convex_mpc
@@ -302,11 +409,17 @@ def main():
         "p50_ms_per_tick_B1_rti": round(lat_rows[2][1] * 1e3, 3),
         "p50_ms_per_tick_B1_N20_rti": round(lat_rows[3][1] * 1e3, 3),
         "p50_ms_per_tick_B1_rti_dual": round(lat_rows[4][1] * 1e3, 3),
-        "meets_5ms_contract": bool(lat_rows[0][1] * 1e3 < 5.0),
+        # keyed to the ONLINE config (N=20, the reference's deployed horizon,
+        # gazebo_go1_quat_mpc.yaml:37) COLD — the honest reading of the 5 ms
+        # real-time contract (Main.cpp:115); N=10 is the benchmark config
+        "meets_5ms_contract": bool(lat_rows[1][1] * 1e3 < 5.0),
+        "meets_5ms_contract_N10": bool(lat_rows[0][1] * 1e3 < 5.0),
         "convex_solves_per_sec": round(convex_sps, 1),
         "dispatch_floor_ms": round(floor_ms, 2),
         "f32_fixture_ok": f32_ok,
     }
+    if mfu:
+        result.update(mfu)
     print(json.dumps(result))
 
 

@@ -537,7 +537,7 @@ def knot_expansions(spec, prob, xs, us, lam, rho):
     )
 
 
-def rollout(spec, prob, xs_bar, us_bar, Ks, ds, alpha):
+def rollout(spec, prob, xs_bar, us_bar, Ks, ds, alpha, unroll: bool = False):
     """alpha: (B,) per-scenario step length."""
     qi = spec.quat_idx
 
@@ -547,7 +547,9 @@ def rollout(spec, prob, xs_bar, us_bar, Ks, ds, alpha):
         u = u_bar + alpha * d + bmv(K, dx)
         return _fleet_step(spec, x, u, prob.params, prob.h), (x, u)
 
-    xN, (xs, us) = jax.lax.scan(step, xs_bar[0], (xs_bar[:-1], us_bar, Ks, ds))
+    xN, (xs, us) = jax.lax.scan(
+        step, xs_bar[0], (xs_bar[:-1], us_bar, Ks, ds), unroll=unroll
+    )
     return jnp.concatenate([xs, xN[None]], axis=0), us
 
 
@@ -555,6 +557,7 @@ def make_fleet_solver(
     spec: FleetModelSpec,
     opts: SolverOptions = SolverOptions(),
     backend: str = "auto",
+    unroll_scans: bool = False,
 ):
     """Returns solve(prob: FleetProblem) -> FleetSolution, fully batch-last.
 
@@ -573,9 +576,17 @@ def make_fleet_solver(
     order breaks bit-level fleet==single parity, so fleets stay on the
     fixture-exact path (B is static under jit; the choice costs nothing
     at runtime).
+
+    ``unroll_scans=True`` fully unrolls every horizon/iteration lax.scan.
+    Runtime-irrelevant (same math, bigger program); it exists for FLOP
+    accounting: XLA's compiled cost_analysis counts a scan body ONCE
+    regardless of trip count, so a rolled program under-counts the solve by
+    ~the iteration product. bench.py compiles an unrolled twin purely to
+    read the true flops/solve (see bench _mfu notes).
     """
     qi = spec.quat_idx
     ne = spec.ne
+    _u = unroll_scans  # shorthand: lax.scan(unroll=) takes bool (full) too
 
     def backward(prob, xs, us, lam, rho, reg, B):
         if backend == "assoc" or (backend == "auto" and B == 1):
@@ -584,7 +595,7 @@ def make_fleet_solver(
             return parallel_riccati.parallel_backward(
                 spec, prob, xs, us, lam, rho, reg
             )
-        return riccati_backward(spec, prob, xs, us, lam, rho, reg)
+        return riccati_backward(spec, prob, xs, us, lam, rho, reg, unroll=_u)
 
     def solve(prob: FleetProblem) -> FleetSolution:
         dtype = prob.x0.dtype
@@ -595,7 +606,7 @@ def make_fleet_solver(
         def init_step(x, u):
             return _fleet_step(spec, x, u, prob.params, prob.h), x
 
-        xN0, xs0 = jax.lax.scan(init_step, prob.x0, prob.us_init)
+        xN0, xs0 = jax.lax.scan(init_step, prob.x0, prob.us_init, unroll=_u)
         xs = jnp.concatenate([xs0, xN0[None]], axis=0)
         us = prob.us_init
 
@@ -623,7 +634,8 @@ def make_fleet_solver(
 
             def roll_one(alpha):
                 xs_a, us_a = rollout(
-                    spec, prob, xs, us, Ks, ds, alpha * jnp.ones((B,), dtype)
+                    spec, prob, xs, us, Ks, ds, alpha * jnp.ones((B,), dtype),
+                    unroll=_u,
                 )
                 return xs_a, us_a, total_cost(spec, xs_a, us_a, prob, lam, rho)
 
@@ -672,6 +684,7 @@ def make_fleet_solver(
                 state,
                 None,
                 length=opts.ilqr_iterations,
+                unroll=_u,
             )
             xs, us, lam, rho, reg, J, _, n_total = state
 
@@ -684,7 +697,9 @@ def make_fleet_solver(
 
         # backward-pass reg enters as (B,) broadcast against (nu, nu, B)
         carry = (xs, us, lam, rho0, reg0, jnp.asarray(0, jnp.int32))
-        carry, _ = jax.lax.scan(al_body, carry, None, length=opts.al_iterations)
+        carry, _ = jax.lax.scan(
+            al_body, carry, None, length=opts.al_iterations, unroll=_u
+        )
         xs, us, lam, rho, reg, n_total = carry
 
         final_cost = total_cost(

@@ -71,7 +71,11 @@ def _solve_general(A, rhs):
 
     No pivoting: callers pass I + (PSD·PSD) matrices whose spectrum lies in
     [1, ∞) up to similarity, so the diagonal stays away from zero.
-    """
+
+    Note: XLA's native batched LU (`jnp.linalg.solve`) microbenches 2.7×
+    faster standalone, but measured SLOWER inside the associative scan
+    (custom-call per level defeats fusion with the combine's matmuls) —
+    full tick 5.75 vs 4.54 ms; the unrolled row loop stays."""
     n = A.shape[-3]
     M = jnp.concatenate([A, rhs], axis=-2)
     for j in range(n):
@@ -88,7 +92,17 @@ def _solve_general(A, rhs):
 
 def _combine(e1, e2):
     """Associative composition of value elements: e1 covers the EARLIER
-    interval, e2 the later (their boundary state is minimized out)."""
+    interval, e2 the later (their boundary state is minimized out).
+
+    ONE Gauss-Jordan with a stacked RHS instead of five: with
+    P = (I + C1J2)⁻¹, the push-through identity (I + J2C1)⁻¹J2 = J2·P and
+    the Woodbury form (I + J2C1)⁻¹ = I − J2·P·C1 turn every (I + J2C1)⁻¹
+    application into a reuse of P applied to [A1 | b1 + C1η2 | C1]:
+        (I+J2C1)⁻¹ J2 A1        = J2 · (P A1)
+        (I+J2C1)⁻¹ (η2 − J2 b1) = η2 − J2 · P (b1 + C1 η2)
+    The backward scan's serial depth is dominated by the in-combine
+    elimination, so collapsing 5 solves into 1 is the latency lever
+    (measured: N=20 B=1 cold tick 6.6 → see bench)."""
     A1, b1, C1, eta1, J1 = e1
     A2, b2, C2, eta2, J2 = e2
     n = A1.shape[-3]
@@ -97,19 +111,21 @@ def _combine(e1, e2):
     eye = (r == c).astype(A1.dtype)[..., None]
 
     ICJ = eye + _mm(C1, J2)             # I + C1 J2
-    P_A1 = _solve_general(ICJ, A1)      # (I + C1J2)⁻¹ A1
-    P_bCe = _solve_general(ICJ, (b1 + _mv(C1, eta2))[..., None, :])[..., 0, :]
-    P_C1 = _solve_general(ICJ, C1)
+    rhs = jnp.concatenate(
+        [A1, (b1 + _mv(C1, eta2))[..., None, :], C1], axis=-2
+    )
+    sol = _solve_general(ICJ, rhs)
+    P_A1 = sol[..., :, :n, :]
+    P_bCe = sol[..., :, n, :]
+    P_C1 = sol[..., :, n + 1 :, :]
 
-    IJC = eye + _mm(J2, C1)             # I + J2 C1
-    Q_J2A1 = _solve_general(IJC, _mm(J2, A1))
-    Q_eJb = _solve_general(IJC, (eta2 - _mv(J2, b1))[..., None, :])[..., 0, :]
+    J2_P_A1 = _mm(J2, P_A1)
 
     A = _mm(A2, P_A1)
     b = _mv(A2, P_bCe) + b2
     C = _mm(A2, _mm(P_C1, _tt(A2))) + C2
-    eta = _mv(_tt(A1), Q_eJb) + eta1
-    J = _mm(_tt(A1), Q_J2A1) + J1
+    eta = _mv(_tt(A1), eta2 - _mv(J2, P_bCe)) + eta1
+    J = _mm(_tt(A1), J2_P_A1) + J1
     return (A, b, C, eta, J)
 
 
