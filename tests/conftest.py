@@ -33,3 +33,42 @@ FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 @pytest.fixture(scope="session")
 def fixtures_dir() -> pathlib.Path:
     return FIXTURES
+
+
+# ---------------------------------------------------------------------------
+# fast/slow tiers. `pytest -m fast` is the <2-minute correctness core
+# (fixtures, units, kinematics, estimation, sharding guards); everything
+# else — closed-loop sims, threaded runtime, multiprocess — is `slow`.
+# Full-suite runtime: ~18 min sequential on this 8-core CPU (per-file
+# timings in the round-4 sweep; warm XLA compile cache).
+# ---------------------------------------------------------------------------
+
+_FAST_FILES = {
+    "test_lie.py",
+    "test_kin.py",
+    "test_gait.py",
+    "test_srb.py",
+    "test_classic.py",
+    "test_solver_fixtures.py",
+    "test_f32_quality.py",
+    "test_estimation.py",
+    "test_native.py",
+    "test_hardware_layer.py",
+    "test_visualize.py",
+    "test_aux_subsystems.py",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "fast: correctness core, whole tier runs < 2 min")
+    config.addinivalue_line(
+        "markers", "slow: closed-loop / threaded / multiprocess tiers")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = pathlib.Path(str(item.fspath)).name
+        item.add_marker(
+            pytest.mark.fast if name in _FAST_FILES else pytest.mark.slow
+        )
