@@ -85,6 +85,55 @@ def test_fleet_shard_matches_single_device(fleet_setup):
     )
 
 
+def test_fleet_walking_shard_matches_single_device():
+    """The WALKING fleet step — gait phase, foothold targets, and warm-start
+    state all live in the sharded carry — over the mesh == one device
+    (VERDICT r3 #7: standing-only sharding coverage was a gap). Runs 3 ticks
+    so the gait state actually advances across the shard boundary."""
+    dtype = jnp.float32
+    wts = quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=dtype)
+    carry1, sp1 = rt.init_walking_scenario(wts, dtype=dtype, warm_start=True)
+    joy1 = rt.neutral_joy(dtype)._replace(velx=jnp.asarray(0.3, dtype))
+    B = 16
+    tile = lambda t: jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), t)
+    carry, sp, joy = tile(carry1), tile(sp1), tile(joy1)
+    # per-scenario perturbation so shards differ
+    vel = jnp.asarray(
+        np.random.default_rng(7).standard_normal((B, 3)) * 0.03, dtype
+    )
+    carry = carry._replace(plant=carry.plant._replace(vel=vel))
+
+    m = mesh_mod.scenario_mesh()
+    fleet_step = rt.make_fleet_walking_step(
+        horizon=4, opts=SolverOptions(al_iterations=1, ilqr_iterations=2)
+    )
+    sharded = jax.jit(mesh_mod.fleet_shard(fleet_step, m))
+    ref_step = jax.jit(fleet_step)
+
+    carry_s = mesh_mod.shard_batch(carry, m)
+    sp_s = mesh_mod.shard_batch(sp, m)
+    joy_s = mesh_mod.shard_batch(joy, m)
+    ref_carry = carry
+    for _ in range(3):
+        carry_s, metrics = sharded(carry_s, sp_s, joy_s)
+        ref_carry, ref_metrics = ref_step(ref_carry, sp, joy)
+    jax.block_until_ready(carry_s)
+
+    np.testing.assert_allclose(
+        np.array(carry_s.plant.pos), np.array(ref_carry.plant.pos), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.array(carry_s.feet_world), np.array(ref_carry.feet_world), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.array(carry_s.gait.phase), np.array(ref_carry.gait.phase), atol=1e-6
+    )
+    assert float(metrics.alive) == B
+    np.testing.assert_allclose(
+        float(metrics.vel_err), float(jnp.sum(ref_metrics.vel_err)), rtol=1e-3
+    )
+
+
 def test_graft_dryrun():
     import __graft_entry__
 
