@@ -409,6 +409,7 @@ def cmd_run_hardware(args) -> dict:
         duration_s=args.duration,
         mpc_rate=args.mpc_rate,
         low_rate=args.low_rate,
+        est_rate=args.est_rate,
         prime_s=args.prime,
         walk_s=args.walk,
         velx=args.velx,
@@ -544,6 +545,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--velx", type=float, default=0.3, help="walk speed [m/s]")
     p.add_argument("--mpc_rate", type=float, default=50.0)
     p.add_argument("--low_rate", type=float, default=250.0)
+    p.add_argument("--est_rate", type=float, default=0.0,
+                   help="estimator (feedback) thread rate [Hz]; > 0 enables "
+                        "the reference's three-tier thread shape "
+                        "(Main.cpp:88-207), 0 folds the KF into the MPC tick")
     p.add_argument("--no_auto_rate", action="store_true",
                    help="keep the requested MPC rate even if the platform "
                         "dispatch floor cannot sustain it (count overruns)")

@@ -169,9 +169,11 @@ def make_hw_control_tick(
         pattern = sched_mod.trot_with_stand_pattern()
     grf_update = quat_mpc.make_controller(horizon, opts, zero_initial_omega=False)
 
-    def tick(carry: HWCarry, sensors: HWSensors, dt, joy: goals.JoySample,
-             wts, rho_fix, kp_joint, kd_joint):
-        dtype = sensors.quat.dtype
+    def est_core(kf_state, sensors: HWSensors, dt, rho_fix):
+        """Feedback-tier work (the reference's 1 kHz thread, Main.cpp:
+        169-199): FK, sigmoid contact detection, BasicKF tick. Pure — runs
+        fused inside the two-tier tick or alone in the three-tier
+        estimator thread."""
         quat = lie.quat_normalize(sensors.quat)
         rot = lie.quat_to_rotmat(quat)
         q = sensors.q.reshape(4, 3)
@@ -184,7 +186,7 @@ def make_hw_control_tick(
         contact = 1.0 / (1.0 + jnp.exp(-10.0 * (sensors.foot_force - 10.0)))
 
         kf_new, _, _ = kf_mod.update(
-            carry.kf,
+            kf_state,
             kf_mod.KFInputs(
                 torso_rot_mat=rot,
                 torso_lin_acc_body=sensors.accel,
@@ -197,10 +199,37 @@ def make_hw_control_tick(
         )
         # repeated frame (dt==0): keep the previous estimate untouched
         fresh = dt > 0.0
-        kf_state = jax.tree.map(
-            lambda new, old: jnp.where(fresh, new, old), kf_new, carry.kf
+        kf_out = jax.tree.map(
+            lambda new, old: jnp.where(fresh, new, old), kf_new, kf_state
         )
-        pos_w, vel_w = kf_state.x[0:3], kf_state.x[3:6]
+        return kf_out, kf_out.x[0:3], kf_out.x[3:6], contact, foot_body
+
+    def tick(carry: HWCarry, sensors: HWSensors, dt, joy: goals.JoySample,
+             wts, rho_fix, kp_joint, kd_joint):
+        kf_state, pos_w, vel_w, _contact, _foot_body = est_core(
+            carry.kf, sensors, dt, rho_fix
+        )
+        return ctrl_core(
+            carry, sensors, kf_state, pos_w, vel_w,
+            dt, joy, wts, rho_fix, kp_joint, kd_joint,
+        )
+
+    def ctrl_core(carry: HWCarry, sensors: HWSensors, kf_state,
+                  pos_w, vel_w, dt,
+                  joy: goals.JoySample, wts, rho_fix, kp_joint, kd_joint):
+        """MPC-tier work. Takes only the torso pos/vel ESTIMATE from the
+        feedback tier; contact detection and foot kinematics are recomputed
+        from the freshest sensors HERE — in three-tier mode the gait FSM's
+        early-contact logic cannot tolerate estimate-bus staleness (measured:
+        contact delayed by one 10 ms est period pumps altitude and falls
+        mid-trot, the same failure mode as the 40 ms force filter), and the
+        reference's MPC thread likewise reads raw feedback fields off the
+        blackboard refreshed at 1 kHz, not a decimated snapshot."""
+        dtype = sensors.quat.dtype
+        quat = lie.quat_normalize(sensors.quat)
+        rot = lie.quat_to_rotmat(quat)
+        foot_body = leg_mod.fk(sensors.q.reshape(4, 3), rho_fix)
+        contact = 1.0 / (1.0 + jnp.exp(-10.0 * (sensors.foot_force - 10.0)))
 
         # ---- joystick mode machine (A toggles stand/walk, B default-pose)
         mode, joycmd, movement_mode = goals.joy_mode_update(carry.mode, joy, dt)
@@ -351,7 +380,33 @@ def make_hw_control_tick(
             info,
         )
 
+    # expose the tiers for the three-tier runtime (estimator thread runs
+    # est_core alone; the MPC thread runs ctrl_core on published estimates)
+    tick.est_core = est_core
+    tick.ctrl_core = ctrl_core
     return tick
+
+
+# flat f32 estimate frame on the estimate bus (three-tier mode):
+# pos(3) vel(3) sim_tick(1) — sensors travel on the feedback bus; the MPC
+# thread combines the freshest of both
+_N_EST = 7
+_EST_BYTES = _N_EST * 4
+
+
+def _est_to_bytes(pos, vel, sim_tick: int) -> bytes:
+    flat = np.concatenate([
+        np.asarray(pos, np.float32), np.asarray(vel, np.float32),
+        np.asarray([sim_tick], np.uint32).view(np.float32),
+    ])
+    return flat.tobytes()
+
+
+def _est_from_bytes(data: bytes, dtype=jnp.float32):
+    flat = np.frombuffer(data, np.float32, count=_N_EST)
+    pos = jnp.asarray(flat[0:3], dtype)
+    vel = jnp.asarray(flat[3:6], dtype)
+    return pos, vel, int(flat[6:7].view(np.uint32)[0])
 
 
 class SimGo1Peer(threading.Thread):
@@ -439,6 +494,7 @@ def run_hardware_loopback(
     duration_s: float = 1.0,
     mpc_rate: float = 50.0,
     low_rate: float = 250.0,
+    est_rate: float = 0.0,
     horizon: int = 6,
     opts: Optional[SolverOptions] = None,
     target_height: float = 0.3,
@@ -455,6 +511,17 @@ def run_hardware_loopback(
     Threads: [peer: UDP robot sim] ← UDP → [servo thread: RateLoop at
     low_rate, cmd bus → LowCmd, LowState → feedback bus] ↔ seqlock buses ↔
     [main thread: RateLoop at mpc_rate, jitted estimator+MPC+torque tick].
+
+    ``est_rate > 0`` enables the THREE-tier shape of the reference
+    (Main.cpp:88-207: MPC prio 50 / low-level prio 25 / feedback prio 10):
+    a dedicated estimator thread runs FK + contact detection + BasicKF at
+    ``est_rate`` (clamped to ≥ mpc_rate; the reference runs feedback at
+    1 kHz) against the freshest sensor frame and publishes estimates on a
+    third seqlock bus; the MPC thread consumes the freshest ESTIMATE
+    instead of folding the KF into its own tick. The estimator then fuses
+    every servo-rate sensor frame rather than one in
+    low_rate/mpc_rate — fresher velocity estimates at each MPC tick is
+    exactly the margin the 50 Hz trot needs.
 
     Operator flow (reference parity, BaseInterface.cpp:135-192): the run
     scripts the joystick — a B-press engages the default-pose/stand-up servo
@@ -593,28 +660,109 @@ def run_hardware_loopback(
     joy_neutral = goals.neutral_joy_sample(dtype)
     joy_press_b = joy_neutral._replace(default_pos=jnp.asarray(True))
 
-    tick_fn = jax.jit(make_hw_control_tick(horizon, opts))
-    # warm the compile cache outside the timed loop, and measure the warm
-    # tick wall time (includes the backend dispatch floor)
+    fused = make_hw_control_tick(horizon, opts)
+    three_tier = est_rate > 0.0
     dt0 = jnp.asarray(dt_ctrl, dtype)
-    carry_w, cmd_mat, info = tick_fn(
-        carry, sensors0, dt0, joy_neutral, wts, ap.rho_fix,
-        ap.kp_joint, ap.kd_joint,
-    )
-    jax.block_until_ready(cmd_mat)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        _, cmd_w, _ = tick_fn(
+    if three_tier:
+        est_jit = jax.jit(fused.est_core)
+        ctrl_jit = jax.jit(fused.ctrl_core)
+        # warm both tiers, time the MPC tier (it sets the loop rate)
+        kf0 = carry.kf
+        kf_w, pos_w0, vel_w0, _c, _f = est_jit(
+            kf0, sensors0, dt0, ap.rho_fix
+        )
+        jax.block_until_ready(pos_w0)
+        carry_w, cmd_mat, info = ctrl_jit(
+            carry, sensors0, kf_w, pos_w0, vel_w0,
+            dt0, joy_neutral, wts, ap.rho_fix, ap.kp_joint, ap.kd_joint,
+        )
+        jax.block_until_ready(cmd_mat)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _, cmd_w, _ = ctrl_jit(
+                carry, sensors0, kf_w, pos_w0, vel_w0,
+                dt0, joy_neutral, wts, ap.rho_fix, ap.kp_joint, ap.kd_joint,
+            )
+            np.asarray(cmd_w)
+        tick_wall = (time.perf_counter() - t0) / 3.0
+        t0 = time.perf_counter()
+        for _ in range(3):
+            kf_t, pos_t, _, _, _ = est_jit(kf0, sensors0, dt0, ap.rho_fix)
+            np.asarray(pos_t)
+        est_wall = (time.perf_counter() - t0) / 3.0
+    else:
+        tick_fn = jax.jit(fused)
+        # warm the compile cache outside the timed loop, and measure the warm
+        # tick wall time (includes the backend dispatch floor)
+        carry_w, cmd_mat, info = tick_fn(
             carry, sensors0, dt0, joy_neutral, wts, ap.rho_fix,
             ap.kp_joint, ap.kd_joint,
         )
-        np.asarray(cmd_w)  # include the device->host pull the loop pays
-    tick_wall = (time.perf_counter() - t0) / 3.0
+        jax.block_until_ready(cmd_mat)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _, cmd_w, _ = tick_fn(
+                carry, sensors0, dt0, joy_neutral, wts, ap.rho_fix,
+                ap.kp_joint, ap.kd_joint,
+            )
+            np.asarray(cmd_w)  # include the device->host pull the loop pays
+        tick_wall = (time.perf_counter() - t0) / 3.0
+        est_wall = 0.0
 
     mpc_rate_req = mpc_rate
     if auto_rate and tick_wall > 0.8 * dt_ctrl:
         dt_ctrl = tick_wall / 0.8
         mpc_rate = 1.0 / dt_ctrl
+
+    est_rate_req = est_rate
+    est_stats = {"ticks": 0, "updates": 0, "overruns": 0}
+    if three_tier:
+        # estimator ≥ MPC rate always (it feeds the MPC); degrade from the
+        # requested rate only if the measured est tick cannot fit
+        est_rate = max(est_rate, mpc_rate)
+        if auto_rate and est_wall > 0.8 / est_rate:
+            est_rate = max(mpc_rate, 0.8 / est_wall)
+        dt_est = 1.0 / est_rate
+        est_bus = native.StateBus(_EST_BYTES)
+
+        def est_loop():
+            loop = native.RateLoop(dt_est, realtime_priority)
+            kf_state = carry.kf
+            last_tick_e = tick0
+            while not stop_evt.is_set():
+                loop.wait()
+                seq, data = fbk_bus.read()
+                if seq == 0:
+                    continue
+                sensors_e, sim_tick_e = _sensors_from_bytes(data, dtype)
+                dt_e = min(
+                    max(sim_tick_e - last_tick_e, 0) * dt_low, 5.0 * dt_est
+                )
+                last_tick_e = sim_tick_e
+                kf_state, pos_e, vel_e, _c, _f = est_jit(
+                    kf_state, sensors_e, jnp.asarray(dt_e, dtype), ap.rho_fix
+                )
+                est_bus.write(_est_to_bytes(
+                    np.asarray(pos_e), np.asarray(vel_e), sim_tick_e,
+                ))
+                est_stats["ticks"] += 1
+                if dt_e > 0:
+                    est_stats["updates"] += 1
+            est_stats["overruns"] = loop.overruns
+
+        est_thread = threading.Thread(target=est_loop, daemon=True)
+        est_thread.start()
+        # wait for the first published estimate
+        t0 = time.time()
+        while time.time() - t0 < 5.0:
+            seq, _ = est_bus.read()
+            if seq > 0:
+                break
+            time.sleep(0.002)
+        else:  # pragma: no cover - startup failure path
+            stop_evt.set()
+            peer.stop()
+            raise TimeoutError("estimator thread published no estimate")
 
     n_prime = max(1, int(round(prime_s * mpc_rate)))
     n_ticks = max(1, int(round(duration_s * mpc_rate)))
@@ -636,6 +784,9 @@ def run_hardware_loopback(
         loop.wait()
         seq, data = fbk_bus.read()
         sensors, sim_tick = _sensors_from_bytes(data, dtype)
+        if three_tier:
+            _eseq, edata = est_bus.read()
+            pos_e, vel_e, _etick = _est_from_bytes(edata, dtype)
         # sim-clock dt (see _N_SENSOR comment); 0 when the frame is a
         # repeat (the tick then skips the KF measurement update), capped at
         # 5 nominal periods after a stall
@@ -653,10 +804,17 @@ def run_hardware_loopback(
             joy = joy_walk
         else:
             joy = joy_neutral
-        carry, cmd_mat, info = tick_fn(
-            carry, sensors, jnp.asarray(dt_sim, dtype), joy, wts,
-            ap.rho_fix, ap.kp_joint, ap.kd_joint,
-        )
+        if three_tier:
+            carry, cmd_mat, info = ctrl_jit(
+                carry, sensors, carry.kf, pos_e, vel_e,
+                jnp.asarray(dt_sim, dtype), joy, wts,
+                ap.rho_fix, ap.kp_joint, ap.kd_joint,
+            )
+        else:
+            carry, cmd_mat, info = tick_fn(
+                carry, sensors, jnp.asarray(dt_sim, dtype), joy, wts,
+                ap.rho_fix, ap.kp_joint, ap.kd_joint,
+            )
         cmd_np = np.asarray(cmd_mat, np.float32)
         cmd_bus.write(cmd_np.tobytes())
         true_pos = np.asarray(peer.state.torso.pos)
@@ -686,6 +844,8 @@ def run_hardware_loopback(
 
     stop_evt.set()
     servo.join(timeout=2.0)
+    if three_tier:
+        est_thread.join(timeout=2.0)
     peer.stop()
     peer.join(timeout=2.0)
 
@@ -700,6 +860,13 @@ def run_hardware_loopback(
     return {
         "mpc_rate_requested": mpc_rate_req,
         "mpc_rate_used": mpc_rate,
+        "three_tier": three_tier,
+        "est_rate_requested": est_rate_req,
+        "est_rate_used": est_rate if three_tier else mpc_rate,
+        "est_ticks": est_stats["ticks"],
+        "est_updates": est_stats["updates"],
+        "est_overruns": int(est_stats["overruns"]),
+        "est_tick_wall_ms": est_wall * 1e3,
         "tick_wall_ms": tick_wall * 1e3,
         "prime_ticks": n_prime,
         "mpc_ticks": n_ticks,
