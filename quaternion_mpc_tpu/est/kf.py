@@ -68,8 +68,12 @@ class KFInputs(NamedTuple):
     contacts: jnp.ndarray           # (4,) estimated contact ∈ [0,1]
 
 
+HEIGHT_INNOVATION_GATE = 0.05  # m; ~riser-aliasing detector threshold
+
+
 def update(state: KFState, inp: KFInputs, dt,
-           foot_height_ref=None) -> Tuple[KFState, jnp.ndarray, jnp.ndarray]:
+           foot_height_ref=None,
+           foot_height_noise_scale=None) -> Tuple[KFState, jnp.ndarray, jnp.ndarray]:
     """One KF tick; returns (state, pos_world, vel_world).
 
     ``foot_height_ref``: optional (4,) expected ground height under each
@@ -77,7 +81,20 @@ def update(state: KFState, inp: KFInputs, dt,
     ground); the terrain-aware variant (the casadi submodule's
     ``A1KFCombineLOWithFootTerrain`` role) measures foot height against
     the known walking surface instead — required on slopes/stairs, where
-    the flat-ground assumption drives the height estimate divergent."""
+    the flat-ground assumption drives the height estimate divergent.
+
+    ``foot_height_noise_scale``: optional (4,) multiplier on the per-foot
+    height measurement noise — the caller's riser-proximity de-weighting
+    (pass the local terrain-height SPREAD within the xy estimate
+    uncertainty: near a stair riser a ±1 cm horizontal error aliases a
+    full 0.17 m rise into the height reference, so that measurement must
+    carry riser-sized variance, not millimeter variance).
+
+    Independent of the caller, an INNOVATION GATE (Mahalanobis-style on
+    the height residual, threshold ``HEIGHT_INNOVATION_GATE``) inflates
+    the noise of any foot whose height innovation is implausible for a
+    millimeter-grade measurement — the in-filter backstop for unmodeled
+    terrain discontinuity."""
     dtype = state.x.dtype
     eye3 = jnp.eye(3, dtype=dtype)
     R = inp.torso_rot_mat
@@ -99,14 +116,12 @@ def update(state: KFState, inp: KFInputs, dt,
         ]
     )
     Q = jnp.diag(Qd)
-    Rd = jnp.concatenate(
-        [
-            jnp.repeat(infl * SENSOR_NOISE_PIMU_REL_FOOT, 3),
-            jnp.repeat(infl * SENSOR_NOISE_VIMU_REL_FOOT, 3),
-            infl * SENSOR_NOISE_ZFOOT,
-        ]
+    hscale = (
+        jnp.ones((NUM_LEG,), dtype)
+        if foot_height_noise_scale is None
+        else foot_height_noise_scale
     )
-    Rm = jnp.diag(Rd)
+
     C = _measurement_matrix(dtype)
 
     # process update
@@ -125,6 +140,22 @@ def update(state: KFState, inp: KFInputs, dt,
         state.x[2] + inp.foot_pos_body[:, 2]
     )
     y = jnp.concatenate([fk_world.reshape(-1), vel_meas.reshape(-1), height_meas])
+
+    # innovation gate on the height rows: a residual far beyond what a
+    # mm-grade height measurement can produce means the reference itself is
+    # wrong (foot on the other side of a riser) — de-weight smoothly, and
+    # only for stance feet (swing feet are already ×1e3 inflated)
+    innov_h = (y - yhat)[24:28]
+    a2 = (innov_h / HEIGHT_INNOVATION_GATE) ** 2
+    gate = 1.0 + jnp.maximum(a2 - 1.0, 0.0) * 1e3
+    Rd = jnp.concatenate(
+        [
+            jnp.repeat(infl * SENSOR_NOISE_PIMU_REL_FOOT, 3),
+            jnp.repeat(infl * SENSOR_NOISE_VIMU_REL_FOOT, 3),
+            infl * SENSOR_NOISE_ZFOOT * hscale * gate,
+        ]
+    )
+    Rm = jnp.diag(Rd)
 
     S = C @ Pbar @ C.T + Rm
     S = 0.5 * (S + S.T)

@@ -793,6 +793,26 @@ def make_estimated_walking_step(
                 jnp.broadcast_to(new_plant.omega, foot_body_new.shape),
                 foot_body_new,
             )
+            # terrain-aware height reference under the ESTIMATED foot xy,
+            # de-weighted by the local height spread within the estimate's
+            # xy uncertainty (riser aliasing — see est_actuated notes)
+            feet_xy_est = (
+                carry.est.x[0:3] + foot_body_new @ rot_new.T
+            )[:, :2]
+            href = terrain_mod.height(tp, feet_xy_est)
+            _r = jnp.asarray(0.03, dtype)
+            _offs = jnp.stack([
+                jnp.zeros((2,), dtype),
+                jnp.asarray([1.0, 0.0], dtype) * _r,
+                jnp.asarray([-1.0, 0.0], dtype) * _r,
+                jnp.asarray([0.0, 1.0], dtype) * _r,
+                jnp.asarray([0.0, -1.0], dtype) * _r,
+            ])
+            _hs = terrain_mod.height(
+                tp, (feet_xy_est[:, None, :] + _offs[None]).reshape(-1, 2)
+            ).reshape(4, 5)
+            _spread = jnp.max(_hs, axis=1) - jnp.min(_hs, axis=1)
+            h_noise_scale = 1.0 + (_spread / 0.005) ** 2
             if kf_type == 1:
                 kf_in = kf_mod.KFInputs(
                     torso_rot_mat=rot_new,
@@ -802,7 +822,10 @@ def make_estimated_walking_step(
                     foot_lin_vel_rel=foot_vel_rel,
                     contacts=plan_contacts,
                 )
-                est_state, _, _ = kf_mod.update(carry.est, kf_in, sp.wts.h)
+                est_state, _, _ = kf_mod.update(
+                    carry.est, kf_in, sp.wts.h, foot_height_ref=href,
+                    foot_height_noise_scale=h_noise_scale,
+                )
             else:
                 ekf_in = ekf_mod.EkfInputs(
                     torso_lin_acc_body=acc_body,
@@ -811,7 +834,9 @@ def make_estimated_walking_step(
                     foot_lin_vel_rel=foot_vel_rel,
                     contacts=plan_contacts,
                 )
-                est_state, _, _ = ekf_mod.update(carry.est, ekf_in, sp.wts.h)
+                est_state, _, _ = ekf_mod.update(
+                    carry.est, ekf_in, sp.wts.h, foot_height_ref=href
+                )
                 # simulated mocap (GazeboInterface kf_type=2 path): true pose
                 # + yaw, fused at the mocap callback rate with a warm-up
                 # drop (first `mocap_warmup` samples discarded,
@@ -1024,9 +1049,18 @@ def make_actuated_walking_step(
         new_robot = art_mod.step(rs, targets, ap_tick, sp.wts.h, n_sub, ext_wrench)
 
         ground_under = terrain_mod.height(tp, new_robot.torso.pos[:2])
-        ok = safety.is_safe(new_robot.torso.quat, new_robot.dq.reshape(-1))
+        # collapse check against the SUPPORT height: while the legs straddle
+        # a stair riser the terrain point under the torso center jumps a
+        # full rise, but the robot stands on its stance feet — min() keeps
+        # the mid-straddle climb legal without weakening true-collapse
+        # detection (torso sinking toward its stance feet still trips)
+        support_z = jnp.minimum(ground_under, ground_z)
+        # sustained dq check: rs.dq is the PREVIOUS tick's endpoint
+        ok = safety.is_safe_sustained(
+            new_robot.torso.quat, new_robot.dq.reshape(-1), rs.dq.reshape(-1)
+        )
         ok = ok & safety.finite_state(new_robot.torso) & (
-            new_robot.torso.pos[2] - ground_under > 0.05
+            new_robot.torso.pos[2] - support_z > 0.05
         )
         alive = carry.alive & ok
         kept_robot = jax.tree.map(
@@ -1400,6 +1434,24 @@ def make_estimated_actuated_step(
         )
         feet_xy_est = (est_pos_prior + foot_body @ rot.T)[:, :2]
         href = terrain_mod.height(tp, feet_xy_est)
+        # riser-proximity de-weighting: the local terrain-height SPREAD
+        # within the xy estimate uncertainty (±3 cm) is the true variance
+        # of the height reference — near a stair riser a ±1 cm horizontal
+        # error aliases a full 0.17 m rise (the second-riser fall this
+        # closes; reference analog: the WithFootTerrain EKF variant)
+        _r = jnp.asarray(0.03, dtype)
+        _offs = jnp.stack([
+            jnp.zeros((2,), dtype),
+            jnp.asarray([1.0, 0.0], dtype) * _r,
+            jnp.asarray([-1.0, 0.0], dtype) * _r,
+            jnp.asarray([0.0, 1.0], dtype) * _r,
+            jnp.asarray([0.0, -1.0], dtype) * _r,
+        ])
+        _hs = terrain_mod.height(
+            tp, (feet_xy_est[:, None, :] + _offs[None]).reshape(-1, 2)
+        ).reshape(4, 5)
+        _spread = jnp.max(_hs, axis=1) - jnp.min(_hs, axis=1)
+        h_noise_scale = 1.0 + (_spread / 0.005) ** 2
         est_state = carry.est
         mocap_count = carry.mocap_count
         if kf_type == 0:
@@ -1414,7 +1466,8 @@ def make_estimated_actuated_step(
                 contacts=contact_prob,
             )
             est_state, est_pos, est_vel = kf_mod.update(
-                carry.est, kf_in, sp.wts.h, foot_height_ref=href
+                carry.est, kf_in, sp.wts.h, foot_height_ref=href,
+                foot_height_noise_scale=h_noise_scale,
             )
         else:
             ekf_in = ekf_mod.EkfInputs(
@@ -1509,9 +1562,18 @@ def make_estimated_actuated_step(
         new_robot = art_mod.step(rs, targets, ap_tick, sp.wts.h, n_sub, ext_wrench)
 
         ground_under = terrain_mod.height(tp, new_robot.torso.pos[:2])
-        ok = safety.is_safe(new_robot.torso.quat, new_robot.dq.reshape(-1))
+        # collapse check against the SUPPORT height: while the legs straddle
+        # a stair riser the terrain point under the torso center jumps a
+        # full rise, but the robot stands on its stance feet — min() keeps
+        # the mid-straddle climb legal without weakening true-collapse
+        # detection (torso sinking toward its stance feet still trips)
+        support_z = jnp.minimum(ground_under, ground_z)
+        # sustained dq check: rs.dq is the PREVIOUS tick's endpoint
+        ok = safety.is_safe_sustained(
+            new_robot.torso.quat, new_robot.dq.reshape(-1), rs.dq.reshape(-1)
+        )
         ok = ok & safety.finite_state(new_robot.torso) & (
-            new_robot.torso.pos[2] - ground_under > 0.05
+            new_robot.torso.pos[2] - support_z > 0.05
         )
         alive = carry.alive & ok
         kept_robot = jax.tree.map(

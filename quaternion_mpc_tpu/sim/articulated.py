@@ -166,8 +166,10 @@ def contact_forces(foot_world, foot_vel_world, p: ArticulatedParams,
     With ``anchor=None`` falls back to viscous-only (legacy callers that
     carry no anchor state). Otherwise returns ``(f_world, new_anchor)``.
     """
-    n = terrain_mod.normal(p.terrain, foot_world[..., :2])     # (4, 3)
-    pen = terrain_mod.penetration(p.terrain, foot_world)        # (4,)
+    # box-SDF contact geometry: riser faces push horizontally (see
+    # terrain.contact_geometry — the naive height-field read turns a
+    # riser graze into a rise-deep vertical force bomb)
+    n, pen = terrain_mod.contact_geometry(p.terrain, foot_world)
     v_n = jnp.sum(foot_vel_world * n, axis=-1)                  # (4,)
     fn = p.contact_kp * pen - p.contact_kd * v_n
     fn = jnp.where(pen > 0.0, jnp.maximum(fn, 0.0), 0.0)        # one-sided

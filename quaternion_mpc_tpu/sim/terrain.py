@@ -97,6 +97,42 @@ def penetration(tp: TerrainParams, pos_world: jnp.ndarray) -> jnp.ndarray:
     return height(tp, pos_world[..., :2]) - pos_world[..., 2]
 
 
+def contact_geometry(tp: TerrainParams, pos_world: jnp.ndarray):
+    """(normal, penetration) for the CONTACT solver — box-SDF resolution on
+    stairs.
+
+    The naive height-field treatment (`penetration` above) reads a foot that
+    has drifted a millimeter past a riser edge while still below the upper
+    tread as a RISE-deep vertical penetration — a force bomb (measured:
+    50 rad/s joint-velocity spikes on riser clips that trip the safety
+    kill). The solid step is a box: when the horizontal depth past the
+    riser face is smaller than the vertical depth below the tread, the
+    nearest surface is the FACE, so the contact is a shallow horizontal
+    push (normal −x̂, depth = distance past the face) — which is what a
+    physical foot grazing a riser feels. Flat/slope kinds are unchanged."""
+    xy = pos_world[..., :2]
+    x = pos_world[..., 0]
+    z = pos_world[..., 2]
+    n_surf = normal(tp, xy)
+    pen_v = height(tp, xy) - z
+
+    # horizontal depth past the current riser face (stairs climb in +x)
+    x_rel = x - tp.stair_run * jnp.floor(jnp.maximum(x, 0.0) / tp.stair_run)
+    depth_h = jnp.where(x > 0.0, x_rel, jnp.inf)
+    use_face = (
+        jnp.broadcast_to(tp.kind == STAIRS, x.shape)
+        & (pen_v > 0.0)
+        & (depth_h < pen_v)
+    )
+    face_n = jnp.broadcast_to(
+        jnp.asarray([-1.0, 0.0, 0.0], dtype=pos_world.dtype),
+        pos_world.shape[:-1] + (3,),
+    )
+    n_out = jnp.where(use_face[..., None], face_n, n_surf)
+    pen_out = jnp.where(use_face, depth_h, pen_v)
+    return n_out, pen_out
+
+
 def contact_probability(tp: TerrainParams, pos_world, force_normal, threshold=10.0):
     """Sigmoid contact confidence 1/(1+e^{-10(F-thr)}) gated by proximity
     (BaseInterface.cpp:234-249 sigmoid + the plant's height query)."""
@@ -105,8 +141,36 @@ def contact_probability(tp: TerrainParams, pos_world, force_normal, threshold=10
     return sig * near.astype(sig.dtype)
 
 
+FOOTHOLD_EDGE_MARGIN = 0.06  # m, min landing distance from a riser edge
+
+
 def snap_to_ground(tp: TerrainParams, pos_world: jnp.ndarray) -> jnp.ndarray:
     """Project a foothold target onto the terrain surface (replaces the
-    flat-ground `target[..., 2] = 0` in the walking loop)."""
-    z = height(tp, pos_world[..., :2])
-    return jnp.concatenate([pos_world[..., :2], z[..., None]], axis=-1)
+    flat-ground `target[..., 2] = 0` in the walking loop).
+
+    On STAIRS the target x is first nudged at least ``FOOTHOLD_EDGE_MARGIN``
+    away from the riser edges (foothold adaptation): a Raibert target
+    landing millimeters past an edge (a) forces the swing foot to cross the
+    riser plane at the very end of its descent, grazing the face, and
+    (b) sits exactly where a centimeter of state-estimate error aliases a
+    full rise in the estimator's terrain height reference. Landing
+    mid-tread removes both failure modes at the source."""
+    x = pos_world[..., 0]
+    base = tp.stair_run * jnp.floor(jnp.maximum(x, 0.0) / tp.stair_run)
+    x_rel = x - base
+    margin = jnp.minimum(FOOTHOLD_EDGE_MARGIN, 0.45 * tp.stair_run)
+    # a target within `margin` PAST a riser edge falls BACK to the lower
+    # tread (one short step) rather than forward onto the higher one — the
+    # forward choice commands a premature full-rise swing from a stride
+    # length away, which needs super-limit joint speeds; within `margin`
+    # BEFORE the next riser it pulls back on the same tread
+    x_stairs = jnp.where(
+        x_rel < margin, base - margin,
+        jnp.minimum(x, base + tp.stair_run - margin),
+    )
+    x_stairs = jnp.where(x > 0.0, x_stairs, jnp.minimum(x, -margin))
+    on_stairs = jnp.broadcast_to(tp.kind == STAIRS, x.shape)
+    x_out = jnp.where(on_stairs, x_stairs, x)
+    xy = jnp.stack([x_out, pos_world[..., 1]], axis=-1)
+    z = height(tp, xy)
+    return jnp.concatenate([xy, z[..., None]], axis=-1)

@@ -103,3 +103,46 @@ def test_kf_vmap_batch():
     inps = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), inp)
     new_states, ps, vs = jax.vmap(kf.update, in_axes=(0, 0, None))(states, inps, DT)
     assert ps.shape == (B, 3)
+
+
+def test_kf_height_innovation_gate():
+    """A riser-aliased height reference (one foot's href wrong by a full
+    0.17 m rise) must NOT yank the height estimate: the innovation gate
+    inflates that measurement's noise by ~(innov/gate)^2*1e3. Without the
+    gate the first update moves z by centimeters; with it, sub-millimeter."""
+    import jax.numpy as jnp
+
+    from quaternion_mpc_tpu.est import kf
+    from quaternion_mpc_tpu.ops import lie
+
+    dtype = jnp.float64
+    rot = lie.quat_to_rotmat(jnp.array([1.0, 0.0, 0.0, 0.0], dtype))
+    foot_body = jnp.asarray(
+        [[0.19, 0.13, -0.3], [0.19, -0.13, -0.3],
+         [-0.19, 0.13, -0.3], [-0.19, -0.13, -0.3]], dtype)
+    st = kf.init_state(rot, foot_body, dtype=dtype)
+    # settle the filter on consistent flat-ground measurements first
+    inp = kf.KFInputs(
+        torso_rot_mat=rot,
+        torso_lin_acc_body=jnp.array([0.0, 0.0, 9.81], dtype),
+        torso_ang_vel_body=jnp.zeros(3, dtype),
+        foot_pos_body=foot_body,
+        foot_lin_vel_rel=jnp.zeros((4, 3), dtype),
+        contacts=jnp.ones(4, dtype),
+    )
+    for _ in range(200):
+        st, pos, _ = kf.update(st, inp, 0.01)
+    z0 = float(st.x[2])
+
+    # one foot's href suddenly claims a full rise (riser aliasing)
+    bad_href = jnp.array([0.17, 0.0, 0.0, 0.0], dtype)
+    st_gated, _, _ = kf.update(st, inp, 0.01, foot_height_ref=bad_href)
+    dz = abs(float(st_gated.x[2]) - z0)
+    assert dz < 1e-3, f"gated update moved z by {dz:.4f} m"
+
+    # sanity: a CONSISTENT small href change is still tracked (gate off)
+    ok_href = jnp.full((4,), 0.01, dtype)
+    st2 = st
+    for _ in range(50):
+        st2, _, _ = kf.update(st2, inp, 0.01, foot_height_ref=ok_href)
+    assert abs(float(st2.x[2]) - (z0 + 0.01)) < 5e-3
