@@ -473,8 +473,12 @@ def cmd_run_scenario(args) -> dict:
             + ", ".join(sorted(scenarios.SCENARIOS))
         )
     t0 = time.perf_counter()
-    _sol, summary = scenarios.solve_scenario(args.name)
+    if args.closed_loop:
+        summary = scenarios.run_closed_loop(args.name, n_ticks=args.steps)
+    else:
+        _sol, summary = scenarios.solve_scenario(args.name)
     summary["name"] = args.name
+    summary["closed_loop"] = bool(args.closed_loop)
     summary["wall_s"] = round(time.perf_counter() - t0, 3)
     return summary
 
@@ -520,6 +524,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("run_scenario", help="branch configs: falling_cat / humanoid / spider_dog")
     _common(p)
     p.add_argument("--name", required=True)
+    p.add_argument("--closed_loop", action="store_true",
+                   help="receding-horizon closed loop on the scenario's "
+                        "plant (re-solve each tick) instead of one open-"
+                        "loop solve; --steps sets the tick count")
     p.set_defaults(fn=cmd_run_scenario)
 
     p = sub.add_parser(

@@ -158,3 +158,108 @@ def solve_scenario(name: str, **kwargs):
         "max_input": float(jnp.max(jnp.abs(sol.us))),
     }
     return sol, summary
+
+
+# ---------------------------------------------------------------------------
+# Closed-loop (receding-horizon) tiers — the reference branches were
+# closed-loop CONTROLLERS (README.md:20-25), not single trajectory solves.
+# ---------------------------------------------------------------------------
+
+
+def make_receding_step(name: str, opts: SolverOptions = None, **scenario_kw):
+    """Receding-horizon closed loop for a branch scenario.
+
+    Re-solves the scenario's trajectory problem FROM THE CURRENT PLANT
+    STATE every tick (primal warm start shifted one knot — the RTI scheme
+    the online Go1 controller uses) and applies u(0) to the scenario's
+    plant:
+
+    - falling_cat: the airborne attitude plant (quat + body rates, full
+      gyroscopic term);
+    - humanoid / spider_dog: the full SRB plant (`sim.plant` — world-frame
+      integration WITH the gyroscopic term the MPC model drops, so the
+      loop sees genuine model mismatch) with the scenario's contact feet;
+      disturbances inject through `sim.plant.ExtWrench`.
+
+    Returns (step, carry0) where step(carry, ext_wrench=None) ->
+    (carry, metrics_dict); carry = (x, us_warm).
+    """
+    from quaternion_mpc_tpu.sim import plant as plant_mod
+    from quaternion_mpc_tpu.solver import make_solver
+
+    spec, prob0, opts0 = SCENARIOS[name](**scenario_kw)
+    if opts is None:
+        # per-tick budget: a few AL rounds; warm start carries convergence
+        opts = SolverOptions(
+            al_iterations=2,
+            ilqr_iterations=8 if name == "falling_cat" else 4,
+        )
+    solver = make_solver(spec, opts)
+    qi = spec.quat_idx
+    h = prob0.h
+    q_ref_end = prob0.cost.x_ref[-1, qi:qi + 4]
+
+    if name == "falling_cat":
+        def plant_step(x, u, ext):
+            tq = jnp.zeros(3, x.dtype) if ext is None else ext.torque_body
+
+            def f(xx):
+                return attitude.attitude_dynamics(
+                    xx, u + tq, prob0.params
+                )
+
+            xm = x + 0.5 * h * f(x)
+            x_new = x + h * f(xm)
+            return x_new.at[0:4].set(lie.quat_normalize(x_new[0:4]))
+    else:
+        pp = plant_mod.PlantParams(
+            mass=prob0.params.mass,
+            inertia=prob0.params.inertia,
+            com_offset=jnp.zeros(3),
+            com_mass=jnp.asarray(0.0),
+            foot_pos_body=jnp.asarray(prob0.params.foot_pos),
+        )
+
+        def plant_step(x, u, ext):
+            ps = plant_mod.PlantState(
+                pos=x[0:3], quat=x[3:7], vel=x[7:10], omega=x[10:13]
+            )
+            n_feet = u.shape[0] // 3
+            ps = plant_mod.step(ps, u.reshape(n_feet, 3), pp, h, ext)
+            return jnp.concatenate([ps.pos, ps.quat, ps.vel, ps.omega])
+
+    def step(carry, ext_wrench=None):
+        x, us_warm = carry
+        prob = prob0._replace(x0=x, us_init=us_warm)
+        sol = solver(prob)
+        u0 = sol.us[0]
+        x_new = plant_step(x, u0, ext_wrench)
+        us_next = jnp.concatenate([sol.us[1:], sol.us[-1:]], axis=0)
+        q = x_new[qi:qi + 4]
+        metrics = {
+            "att_err": 1.0 - jnp.abs(jnp.sum(q * q_ref_end)),
+            "cost": sol.stats.cost,
+            "u_max": jnp.max(jnp.abs(u0)),
+            "omega_max": jnp.max(jnp.abs(x_new[-3:])),
+        }
+        return (x_new, us_next), metrics
+
+    carry0 = (prob0.x0, prob0.us_init)
+    return step, carry0
+
+
+def run_closed_loop(name: str, n_ticks: int = 100, opts: SolverOptions = None,
+                    **scenario_kw):
+    """Drive a branch scenario's receding-horizon loop; returns a summary."""
+    step, carry = make_receding_step(name, opts=opts, **scenario_kw)
+    step_jit = jax.jit(step)
+    u_hi = 0.0
+    for _ in range(n_ticks):
+        carry, m = step_jit(carry)
+        u_hi = max(u_hi, float(m["u_max"]))
+    return {
+        "final_att_err": float(m["att_err"]),
+        "final_omega_max": float(m["omega_max"]),
+        "max_input": u_hi,
+        "ticks": n_ticks,
+    }

@@ -189,3 +189,83 @@ def test_spider_dog_chimney_brace():
     assert (np.abs(f[:, 2]) <= mu * press_forces + 1e-5).all()
     # the body does not drift over the horizon
     np.testing.assert_allclose(np.array(sol.xs[-1, 7:13]), 0.0, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Closed-loop (receding-horizon) branch tiers — VERDICT r3 #6: the reference
+# branches were closed-loop controllers, not single open-loop solves.
+# ---------------------------------------------------------------------------
+
+
+def test_falling_cat_closed_loop_reorients():
+    """Receding-horizon attitude loop: re-solve from the current state each
+    tick, apply u(0) to the airborne attitude plant, until the 160-degree
+    reorientation completes under the 8 N*m torque box."""
+    from quaternion_mpc_tpu import scenarios
+
+    step, carry = scenarios.make_receding_step("falling_cat")
+    step_jit = jax.jit(step)
+    u_hi, errs = 0.0, []
+    for _ in range(100):  # 2 s at h=20 ms
+        carry, m = step_jit(carry)
+        u_hi = max(u_hi, float(m["u_max"]))
+        errs.append(float(m["att_err"]))
+    assert errs[-1] < 1e-4, f"did not reorient (att_err {errs[-1]:.2e})"
+    assert float(m["omega_max"]) < 0.05, "still tumbling at the end"
+    assert u_hi <= 8.2, f"torque box violated ({u_hi:.2f} N*m)"
+    # convergence is monotone-ish: halfway error well below start
+    assert errs[50] < 0.05
+
+
+def test_humanoid_closed_loop_balances_from_tilt():
+    """Two-contact biped balance loop from a tilted, laterally-moving start:
+    the receding-horizon loop brings the MIT-humanoid-mass SRB upright on
+    the full plant (gyroscopic term included)."""
+    from quaternion_mpc_tpu import scenarios
+
+    step, carry = scenarios.make_receding_step("humanoid")
+    step_jit = jax.jit(step)
+    for _ in range(150):  # 3 s
+        carry, m = step_jit(carry)
+    x = carry[0]
+    assert bool(jnp.all(jnp.isfinite(x)))
+    assert float(m["att_err"]) < 1e-6, "did not level out"
+    np.testing.assert_allclose(np.asarray(x[7:13]), 0.0, atol=0.02)  # at rest
+    np.testing.assert_allclose(np.asarray(x[0:3]), 0.0, atol=0.05)   # near anchor
+
+
+def test_spider_dog_closed_loop_brace_survives_push():
+    """Chimney brace hold on the SRB plant (weight carried entirely by
+    friction against vertical walls), perturbed mid-hold by a 3-tick
+    lateral+vertical shove: the loop re-braces and returns to the anchor.
+    Also asserts the wall physics: every foot presses INTO its wall and
+    the stance carries the full weight through friction."""
+    from quaternion_mpc_tpu import scenarios
+    from quaternion_mpc_tpu.sim import plant as plant_mod
+
+    step, carry = scenarios.make_receding_step("spider_dog")
+    step_jit = jax.jit(step)
+    dtype = carry[0].dtype
+    push = plant_mod.ExtWrench(
+        force_world=jnp.asarray([0.0, 30.0, -40.0], dtype),
+        torque_body=jnp.asarray([1.0, 0.0, 0.0], dtype),
+    )
+    zero = plant_mod.zero_wrench(dtype)
+    us_seen = []
+    for k in range(160):
+        ext = push if 40 <= k < 43 else zero
+        carry, m = step_jit(carry, ext_wrench=ext)
+        us_seen.append(np.asarray(carry[1][0]))
+    x = carry[0]
+    assert bool(jnp.all(jnp.isfinite(x)))
+    # re-braced: back near the hover anchor, attitude level, at rest
+    np.testing.assert_allclose(np.asarray(x[0:3]), 0.0, atol=0.03)
+    assert float(m["att_err"]) < 1e-5
+    np.testing.assert_allclose(np.asarray(x[7:13]), 0.0, atol=0.01)
+    # wall physics at the final hold: normal components press into walls
+    u_end = us_seen[-1].reshape(4, 3)
+    wall_sign = np.array([-1.0, 1.0, -1.0, 1.0])  # feet at +y,-y,+y,-y walls
+    press = u_end[:, 1] * wall_sign
+    assert (press > 5.0).all(), f"feet not pressing into walls: {u_end[:, 1]}"
+    # friction carries the weight: total vertical force ~ m*g
+    np.testing.assert_allclose(u_end[:, 2].sum(), 12.84 * 9.81, rtol=0.05)
