@@ -505,6 +505,8 @@ def run_hardware_loopback(
     auto_rate: bool = True,
     debug_trace: bool = False,
     dtype=jnp.float32,
+    joy_provider=None,
+    state_sink=None,
 ) -> dict:
     """Run the full Main.cpp-shaped stack against the simulated peer.
 
@@ -531,6 +533,12 @@ def run_hardware_loopback(
     ``walk_s > 0`` an A-press then engages the trot at ``velx`` m/s for
     ``walk_s`` seconds and a final A-press returns to standing for another
     ``duration_s`` (the full stand → walk → stand flow over the wire).
+
+    ``joy_provider``: optional callable ``(k, scripted_joy) -> JoySample``
+    overriding the scripted operator — the hook the high-level teleop
+    bridge drives (`runtime.teleop.HighLevelBridge`). ``state_sink``:
+    optional callable ``(k, info, sensors)`` invoked after every MPC tick
+    with the estimate/info dict — the HighState publishing hook.
 
     ``auto_rate``: if the measured (warm) control-tick wall time cannot fit
     the requested MPC period — e.g. a ~25-30 ms dispatch floor on a tunneled
@@ -804,6 +812,8 @@ def run_hardware_loopback(
             joy = joy_walk
         else:
             joy = joy_neutral
+        if joy_provider is not None:
+            joy = joy_provider(k, joy)
         if three_tier:
             carry, cmd_mat, info = ctrl_jit(
                 carry, sensors, carry.kf, pos_e, vel_e,
@@ -817,6 +827,8 @@ def run_hardware_loopback(
             )
         cmd_np = np.asarray(cmd_mat, np.float32)
         cmd_bus.write(cmd_np.tobytes())
+        if state_sink is not None:
+            state_sink(k, info, sensors)
         true_pos = np.asarray(peer.state.torso.pos)
         last_est = np.asarray(info["est_pos"])
         last_true = true_pos

@@ -222,3 +222,113 @@ class HardwareLink:
         st = unpack_low_state(data)
         st.foot_force = self.force_proc.update(st.foot_force)
         return st
+
+
+# ---------------------------------------------------------------------------
+# High-level protocol (unitree_legged_real parity: the 8090/8091 bridge
+# carries BOTH levels, ros_udp.cpp:13-50). Controller-relevant surface of
+# unitree_legged_msgs/msg/High{Cmd,State}.msg — mode/gait/velocity command
+# down, pose/velocity/foot state up; SN/BMS/LED/wirelessRemote padding is
+# dropped exactly as the Low codecs drop it.
+# ---------------------------------------------------------------------------
+
+KIND_HIGH_CMD = 3
+KIND_HIGH_STATE = 4
+
+# high-level modes (HighCmd.msg mode semantics used by the examples:
+# example_walk.cpp cycles 0=idle, 1=force stand, 2=velocity walk)
+HIGH_MODE_IDLE = 0
+HIGH_MODE_STAND = 1
+HIGH_MODE_WALK = 2
+
+
+@dataclass
+class HighCmd:
+    mode: int = HIGH_MODE_IDLE
+    gait_type: int = 0
+    body_height: float = 0.3       # absolute target height [m]
+    foot_raise_height: float = 0.1
+    position: np.ndarray = field(default_factory=lambda: np.zeros(2))
+    euler: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    velocity: np.ndarray = field(default_factory=lambda: np.zeros(2))
+    yaw_speed: float = 0.0
+    tick: int = 0
+
+
+@dataclass
+class HighState:
+    mode: int = HIGH_MODE_IDLE
+    progress: float = 0.0
+    gait_type: int = 0
+    position: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    body_height: float = 0.0
+    velocity: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    yaw_speed: float = 0.0
+    quaternion: np.ndarray = field(default_factory=lambda: np.array([1.0, 0, 0, 0]))
+    gyroscope: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    foot_force: np.ndarray = field(default_factory=lambda: np.zeros(4))
+    foot_position_body: np.ndarray = field(default_factory=lambda: np.zeros((4, 3)))
+    tick: int = 0
+
+
+_HIGH_CMD_FMT = "<BB2f2f3f2ff"   # mode gait bodyH footH pos[2] eul[3] vel[2] yawSp
+_HIGH_STATE_FMT = "<BfB3ff3ff4f3f4f12f"
+
+
+def pack_high_cmd(cmd: HighCmd) -> bytes:
+    body = struct.pack(
+        _HIGH_CMD_FMT,
+        cmd.mode & 0xFF, cmd.gait_type & 0xFF,
+        cmd.body_height, cmd.foot_raise_height,
+        *np.asarray(cmd.position, np.float32),
+        *np.asarray(cmd.euler, np.float32),
+        *np.asarray(cmd.velocity, np.float32),
+        cmd.yaw_speed,
+    )
+    return struct.pack(_HDR_FMT, _MAGIC, _VERSION, KIND_HIGH_CMD, cmd.tick) + body
+
+
+def unpack_high_cmd(data: bytes) -> HighCmd:
+    hdr = struct.calcsize(_HDR_FMT)
+    magic, ver, kind, tick = struct.unpack_from(_HDR_FMT, data)
+    if magic != _MAGIC or kind != KIND_HIGH_CMD:
+        raise ValueError("not a HighCmd frame")
+    v = struct.unpack_from(_HIGH_CMD_FMT, data, hdr)
+    return HighCmd(
+        mode=v[0], gait_type=v[1], body_height=v[2], foot_raise_height=v[3],
+        position=np.asarray(v[4:6]), euler=np.asarray(v[6:9]),
+        velocity=np.asarray(v[9:11]), yaw_speed=v[11], tick=tick,
+    )
+
+
+def pack_high_state(st: HighState) -> bytes:
+    body = struct.pack(
+        _HIGH_STATE_FMT,
+        st.mode & 0xFF, st.progress, st.gait_type & 0xFF,
+        *np.asarray(st.position, np.float32),
+        st.body_height,
+        *np.asarray(st.velocity, np.float32),
+        st.yaw_speed,
+        *np.asarray(st.quaternion, np.float32),
+        *np.asarray(st.gyroscope, np.float32),
+        *np.asarray(st.foot_force, np.float32),
+        *np.asarray(st.foot_position_body, np.float32).reshape(-1),
+    )
+    return struct.pack(_HDR_FMT, _MAGIC, _VERSION, KIND_HIGH_STATE, st.tick) + body
+
+
+def unpack_high_state(data: bytes) -> HighState:
+    hdr = struct.calcsize(_HDR_FMT)
+    magic, ver, kind, tick = struct.unpack_from(_HDR_FMT, data)
+    if magic != _MAGIC or kind != KIND_HIGH_STATE:
+        raise ValueError("not a HighState frame")
+    v = struct.unpack_from(_HIGH_STATE_FMT, data, hdr)
+    return HighState(
+        mode=v[0], progress=v[1], gait_type=v[2],
+        position=np.asarray(v[3:6]), body_height=v[6],
+        velocity=np.asarray(v[7:10]), yaw_speed=v[10],
+        quaternion=np.asarray(v[11:15]), gyroscope=np.asarray(v[15:18]),
+        foot_force=np.asarray(v[18:22]),
+        foot_position_body=np.asarray(v[22:34]).reshape(4, 3),
+        tick=tick,
+    )
