@@ -414,6 +414,7 @@ def cmd_run_hardware(args) -> dict:
         walk_s=args.walk,
         velx=args.velx,
         auto_rate=not args.no_auto_rate,
+        async_mpc=args.async_mpc,
     )
 
 
@@ -560,6 +561,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_auto_rate", action="store_true",
                    help="keep the requested MPC rate even if the platform "
                         "dispatch floor cannot sustain it (count overruns)")
+    p.add_argument("--async_mpc", action="store_true",
+                   help="pipelined one-tick-delay MPC dispatch: rate bound "
+                        "by solve throughput, not dispatch latency")
     p.set_defaults(fn=cmd_run_hardware)
     return ap
 

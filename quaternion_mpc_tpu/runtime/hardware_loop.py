@@ -507,6 +507,7 @@ def run_hardware_loopback(
     dtype=jnp.float32,
     joy_provider=None,
     state_sink=None,
+    async_mpc: bool = False,
 ) -> dict:
     """Run the full Main.cpp-shaped stack against the simulated peer.
 
@@ -539,6 +540,16 @@ def run_hardware_loopback(
     bridge drives (`runtime.teleop.HighLevelBridge`). ``state_sink``:
     optional callable ``(k, info, sensors)`` invoked after every MPC tick
     with the estimate/info dict — the HighState publishing hook.
+
+    ``async_mpc``: pipelined one-tick-delay dispatch — each tick's solve is
+    dispatched without blocking and the PREVIOUS tick's command is
+    published while it computes, so the loop rate is bounded by solve
+    THROUGHPUT instead of the dispatch round-trip latency. On a backend
+    with a large dispatch floor (the tunneled accelerator's ~25 ms) this
+    is the mitigation that recovers rate; the cost is one control period
+    of command latency (the sync operator-flow test passes under exactly
+    that injected latency). auto_rate then keys on the measured PIPELINED
+    per-tick time.
 
     ``auto_rate``: if the measured (warm) control-tick wall time cannot fit
     the requested MPC period — e.g. a ~25-30 ms dispatch floor on a tunneled
@@ -717,6 +728,21 @@ def run_hardware_loopback(
         tick_wall = (time.perf_counter() - t0) / 3.0
         est_wall = 0.0
 
+    tick_wall_sync = tick_wall
+    if async_mpc and not three_tier:
+        # pipelined per-tick time: dispatch a chain pulling only the LAST
+        # result — the rate bound the one-tick-delay loop actually pays
+        t0 = time.perf_counter()
+        c_w = carry
+        cmd_last = None
+        for _ in range(4):
+            c_w, cmd_last, _ = tick_fn(
+                c_w, sensors0, dt0, joy_neutral, wts, ap.rho_fix,
+                ap.kp_joint, ap.kd_joint,
+            )
+        np.asarray(cmd_last)
+        tick_wall = (time.perf_counter() - t0) / 4.0
+
     mpc_rate_req = mpc_rate
     if auto_rate and tick_wall > 0.8 * dt_ctrl:
         dt_ctrl = tick_wall / 0.8
@@ -782,6 +808,7 @@ def run_hardware_loopback(
     joy_press_a = joy_neutral._replace(mode_switch=jnp.asarray(True))
     joy_walk = joy_neutral._replace(velx=jnp.asarray(velx, dtype))
     loop = native.RateLoop(dt_ctrl, realtime_priority)
+    pending = None  # async_mpc one-slot pipeline (cmd, info) of tick k-1
     costs, est_err = [], []
     mpc_pos0 = stand_last = None  # stand-phase endpoints (drift metric)
     walk_start = walk_end = None
@@ -825,6 +852,20 @@ def run_hardware_loopback(
                 carry, sensors, jnp.asarray(dt_sim, dtype), joy, wts,
                 ap.rho_fix, ap.kp_joint, ap.kd_joint,
             )
+        if async_mpc:
+            # pipelined one-tick-delay mode: dispatch tick k WITHOUT
+            # pulling; publish tick k-1's command (now surely finished)
+            # while k computes. The carry feeds forward as unpulled device
+            # arrays (JAX async dataflow), so the host only ever blocks on
+            # a solve that has had a full period to finish. The sync
+            # operator-flow test already proves the control law tolerates
+            # a full tick of command latency; bookkeeping lags one tick.
+            fresh = (cmd_mat, info)
+            if pending is None:
+                pending = fresh
+                continue
+            cmd_mat, info = pending
+            pending = fresh
         cmd_np = np.asarray(cmd_mat, np.float32)
         cmd_bus.write(cmd_np.tobytes())
         if state_sink is not None:
@@ -880,6 +921,8 @@ def run_hardware_loopback(
         "est_overruns": int(est_stats["overruns"]),
         "est_tick_wall_ms": est_wall * 1e3,
         "tick_wall_ms": tick_wall * 1e3,
+        "tick_wall_sync_ms": tick_wall_sync * 1e3,
+        "async_mpc": async_mpc,
         "prime_ticks": n_prime,
         "mpc_ticks": n_ticks,
         "mpc_overruns": int(mpc_overruns),

@@ -36,9 +36,16 @@ def test_terrain_worlds_height_and_normal():
 
 def test_terrain_snap_and_contact():
     stairs = world.make_terrain("stairs")
-    p = jnp.asarray([0.65, 0.0, 0.9], jnp.float32)
+    # mid-tread target: plain projection onto the second step's top
+    p = jnp.asarray([0.75, 0.0, 0.9], jnp.float32)
     snapped = world.snap_to_ground(stairs, p)
+    np.testing.assert_allclose(float(snapped[0]), 0.75, atol=1e-6)
     np.testing.assert_allclose(float(snapped[2]), 0.34, atol=1e-6)
+    # near-edge target (5 cm past the 0.60 riser): foothold adaptation
+    # pulls it BACK to the lower tread, never within the edge margin
+    edge = world.snap_to_ground(stairs, jnp.asarray([0.65, 0.0, 0.9], jnp.float32))
+    np.testing.assert_allclose(float(edge[0]), 0.54, atol=1e-6)
+    np.testing.assert_allclose(float(edge[2]), 0.17, atol=1e-6)
     prob_on = world.contact_probability(stairs, snapped, jnp.asarray(50.0))
     prob_air = world.contact_probability(stairs, p, jnp.asarray(50.0))
     assert float(prob_on) > 0.99

@@ -380,3 +380,20 @@ def test_three_tier_walk_survival():
     assert all(
         s["walk_distance_m"] > 0.1 for s in runs if s["upright"]
     ), [s["walk_distance_m"] for s in runs]
+
+
+def test_async_mpc_pipelined_stand():
+    """Pipelined one-tick-delay MPC dispatch (the dispatch-floor mitigation):
+    the loop publishes tick k-1's command while tick k computes, so the
+    rate is bound by solve throughput, not dispatch round-trip. Standing
+    balance holds under the added period of command latency. (The 50 Hz
+    TROT does not survive the extra tick of delay on this plant — measured,
+    and expected: the reference runs 200 Hz where one tick is 5 ms — so
+    async mode's walk capability is a rate trade documented in the
+    run_hardware_loopback docstring, not asserted here.)"""
+    s = hw.run_hardware_loopback(duration_s=1.5, prime_s=0.5, async_mpc=True)
+    assert s["async_mpc"]
+    assert s["upright"], s
+    assert s["height_err"] < 0.04, s
+    assert s["final_est_err"] < 0.03, s
+    assert s["drift_speed_mps"] < 0.05, s
