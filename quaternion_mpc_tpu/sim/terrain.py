@@ -118,18 +118,25 @@ def contact_geometry(tp: TerrainParams, pos_world: jnp.ndarray):
 
     # horizontal depth past the current riser face (stairs climb in +x)
     x_rel = x - tp.stair_run * jnp.floor(jnp.maximum(x, 0.0) / tp.stair_run)
-    depth_h = jnp.where(x > 0.0, x_rel, jnp.inf)
-    use_face = (
-        jnp.broadcast_to(tp.kind == STAIRS, x.shape)
-        & (pen_v > 0.0)
-        & (depth_h < pen_v)
+    big = jnp.asarray(1e3, pos_world.dtype)
+    depth_h = jnp.where(x > 0.0, x_rel, big)
+    # SMOOTH face/tread blend: a hard switch makes the normal flip
+    # direction every substep for a foot wedged exactly at the step corner
+    # (depth_h ≈ pen_v), which rings the low-inertia calf against the
+    # anchor-spring friction at ~50 rad/s (measured). Blend over a ~1 cm
+    # band instead — the corner becomes a rounded edge.
+    w_face = jax.nn.sigmoid((pen_v - depth_h) / 0.01)
+    on_stairs = (
+        jnp.broadcast_to(tp.kind == STAIRS, x.shape) & (pen_v > 0.0)
     )
+    w_face = jnp.where(on_stairs, w_face, 0.0)
     face_n = jnp.broadcast_to(
         jnp.asarray([-1.0, 0.0, 0.0], dtype=pos_world.dtype),
         pos_world.shape[:-1] + (3,),
     )
-    n_out = jnp.where(use_face[..., None], face_n, n_surf)
-    pen_out = jnp.where(use_face, depth_h, pen_v)
+    n_out = w_face[..., None] * face_n + (1.0 - w_face[..., None]) * n_surf
+    n_out = n_out / jnp.linalg.norm(n_out, axis=-1, keepdims=True)
+    pen_out = w_face * jnp.minimum(depth_h, pen_v) + (1.0 - w_face) * pen_v
     return n_out, pen_out
 
 
