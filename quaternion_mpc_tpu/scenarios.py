@@ -254,7 +254,8 @@ def run_closed_loop(name: str, n_ticks: int = 100, opts: SolverOptions = None,
     step, carry = make_receding_step(name, opts=opts, **scenario_kw)
     step_jit = jax.jit(step)
     u_hi = 0.0
-    for _ in range(n_ticks):
+    m = None
+    for _ in range(max(1, n_ticks)):
         carry, m = step_jit(carry)
         u_hi = max(u_hi, float(m["u_max"]))
     return {

@@ -170,12 +170,14 @@ def snap_to_ground(tp: TerrainParams, pos_world: jnp.ndarray) -> jnp.ndarray:
     # tread (one short step) rather than forward onto the higher one — the
     # forward choice commands a premature full-rise swing from a stride
     # length away, which needs super-limit joint speeds; within `margin`
-    # BEFORE the next riser it pulls back on the same tread
+    # BEFORE the next riser it pulls back on the same tread. The first
+    # riser is at x = run (the field is flat through x = 0), so the
+    # fall-back rule applies only for base > 0.
     x_stairs = jnp.where(
-        x_rel < margin, base - margin,
+        (x_rel < margin) & (base > 0.0), base - margin,
         jnp.minimum(x, base + tp.stair_run - margin),
     )
-    x_stairs = jnp.where(x > 0.0, x_stairs, jnp.minimum(x, -margin))
+    x_stairs = jnp.where(x > 0.0, x_stairs, x)
     on_stairs = jnp.broadcast_to(tp.kind == STAIRS, x.shape)
     x_out = jnp.where(on_stairs, x_stairs, x)
     xy = jnp.stack([x_out, pos_world[..., 1]], axis=-1)
