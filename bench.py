@@ -414,6 +414,10 @@ def main():
         # real-time contract (Main.cpp:115); N=10 is the benchmark config
         "meets_5ms_contract": bool(lat_rows[1][1] * 1e3 < 5.0),
         "meets_5ms_contract_N10": bool(lat_rows[0][1] * 1e3 < 5.0),
+        # BASELINE north star: <2 ms/solve on one chip — keyed to the
+        # N=10 warm-RTI row (the deployment mode the reference's own
+        # SetState/SetInput warm starting implies)
+        "meets_2ms_north_star": bool(lat_rows[2][1] * 1e3 < 2.0),
         "convex_solves_per_sec": round(convex_sps, 1),
         "dispatch_floor_ms": round(floor_ms, 2),
         "f32_fixture_ok": f32_ok,

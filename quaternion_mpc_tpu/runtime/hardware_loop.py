@@ -809,6 +809,16 @@ def run_hardware_loopback(
     joy_walk = joy_neutral._replace(velx=jnp.asarray(velx, dtype))
     loop = native.RateLoop(dt_ctrl, realtime_priority)
     pending = None  # async_mpc one-slot pipeline (cmd, info) of tick k-1
+    # real-time hygiene: a CPython gen-2 GC pause (10+ ms when a long
+    # process has a large live heap, e.g. late in a test session) lands
+    # inside the 6.7 ms estimator period and trips the whole pipeline —
+    # collect once, then hold GC off for the RT section like any
+    # deployed RT Python loop would
+    import gc
+
+    gc.collect()
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
     costs, est_err = [], []
     mpc_pos0 = stand_last = None  # stand-phase endpoints (drift metric)
     walk_start = walk_end = None
@@ -894,6 +904,8 @@ def run_hardware_loopback(
                 "vel": [round(float(v), 3) for v in st_now.torso.vel],
             })
     mpc_overruns = loop.overruns
+    if gc_was_enabled:
+        gc.enable()
 
     stop_evt.set()
     servo.join(timeout=2.0)

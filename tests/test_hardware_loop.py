@@ -348,55 +348,55 @@ def test_three_tier_stand():
 
 def test_three_tier_walk_survival():
     """Loopback trot with the estimator in its own 150 Hz thread (= servo
-    rate, so estimator rate >= servo rate), repeated: the KF fuses ~3x more
-    sensor frames than the two-tier 50 Hz fold-in, and the measured walk
-    survival IMPROVES over the two-tier's documented ~2/3 — at est 150 Hz
-    with servo 250 Hz: 6/6 consecutive; at est = servo = 150 Hz: 5/6
-    (vs the roughly 1-in-3 tip rate test_threaded_loopback_walk_phase
-    documents for the two-tier shape at the same 50 Hz MPC rate). The
-    MECHANISM asserts are deterministic; the posture assert is a survival
-    count (>= 2 of 4) to tolerate shared-core OS scheduling nondeterminism.
+    rate, so estimator rate >= servo rate), repeated in FRESH subprocesses:
+    the KF fuses ~3x more sensor frames than the two-tier 50 Hz fold-in,
+    and the measured walk survival IMPROVES over the two-tier's documented
+    ~2/3 — 8/8 consecutive runs on an idle host at this config (and 8/8 at
+    mpc 100 Hz). The MECHANISM asserts hold for every run; survival is a
+    count (>= 2 of 4) because OS scheduling nondeterminism is real even in
+    isolation.
 
-    Failure modes this shape had to avoid (both measured, both structural):
+    Process isolation matters: in a long pytest process the accumulated
+    heap/jit state adds multi-ms jitter spikes that tip the walk at rates
+    the controller sustains in a fresh interpreter (measured: 8/8 isolated
+    vs down to 1/4 late in a full-suite process, identical code). Each
+    attempt therefore runs in its own interpreter via _hw_walk_worker.py,
+    warm-started by the repo-local persistent compile cache.
+
+    Failure modes this shape had to avoid (all measured, all structural):
     - routing CONTACT through the estimate bus adds one est-period of
       staleness to the gait FSM's early-contact logic and reliably pumps
       altitude until the trot falls — the MPC tick therefore recomputes
       contact/FK from the freshest sensor frame (see ctrl_core docstring);
-    - an estimator rate the host cannot sustain (250 Hz here, ~300 late
-      ticks/run) injects jitter into all three tiers and tips the walk —
-      est 150 Hz runs overrun-clean on this host."""
-    runs = [
-        hw.run_hardware_loopback(
-            duration_s=0.7, prime_s=0.6, walk_s=1.2, velx=0.3,
-            est_rate=150.0, low_rate=150.0,
+    - an estimator rate the host cannot sustain (250 Hz here, ~300-450
+      late ticks/run) injects jitter into all three tiers and tips the
+      walk (measured 4/8) — est 150 Hz runs overrun-clean."""
+    import json
+    import pathlib
+    import subprocess
+    import sys
+
+    worker = pathlib.Path(__file__).parent / "_hw_walk_worker.py"
+    runs = []
+    for _ in range(4):
+        proc = subprocess.run(
+            [sys.executable, str(worker)],
+            capture_output=True, text=True, timeout=600,
+            cwd=str(worker.parent.parent),
         )
-        for _ in range(4)
-    ]
-    import pytest
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
 
     for s in runs:
         assert s["three_tier"] and s["walk_ticks"] > 0
         assert s["est_rate_used"] >= 150.0  # estimator >= servo rate
         assert s["final_est_err"] < 0.05, s
-    # load guard: a run whose RateLoop threads overran heavily was decided
-    # by the host scheduler, not the controller — exclude it from the
-    # survival denominator (the verify notes document that a loaded host
-    # tips this walk regardless of controller quality)
-    def clean(s):
-        total = s["prime_ticks"] + s["mpc_ticks"] + s["walk_ticks"]
-        return (s["mpc_overruns"] <= 0.2 * total
-                and s["est_overruns"] <= 0.5 * max(s["est_ticks"], 1))
-
-    valid = [s for s in runs if clean(s)]
-    if len(valid) < 2:
-        pytest.skip("host too loaded for the timing-sensitive walk "
-                    f"(only {len(valid)}/4 overrun-clean runs)")
-    survived = sum(1 for s in valid if s["upright"])
-    assert survived * 2 >= len(valid), [s["final_height"] for s in valid]
+    survived = sum(1 for s in runs if s["upright"])
+    assert survived >= 2, [s["final_height"] for s in runs]
     # survivors actually walked
     assert all(
-        s["walk_distance_m"] > 0.1 for s in valid if s["upright"]
-    ), [s["walk_distance_m"] for s in valid]
+        s["walk_distance_m"] > 0.1 for s in runs if s["upright"]
+    ), [s["walk_distance_m"] for s in runs]
 
 
 def test_async_mpc_pipelined_stand():
