@@ -667,7 +667,11 @@ def run_hardware_loopback(
         # goal filter window: the reference's MovingWindowFilter(100) at its
         # 200 Hz goal rate is 0.5 s of smoothing (QuatMpc.cpp:10-11); scale
         # the sample count to THIS loop's rate or a stop command takes
-        # 100/mpc_rate seconds to decay and the robot keeps walking
+        # 100/mpc_rate seconds to decay and the robot keeps walking.
+        # Sized from the REQUESTED rate: auto_rate may lower the realized
+        # rate later, but the window length is a static jit shape and
+        # resizing it would force a recompile of the already-warmed tick —
+        # a slightly longer decay on a degraded backend is the cheaper evil.
         goal=goals.init_goal_state(
             fbk0, window=max(1, int(round(0.5 * mpc_rate)))
         ),
