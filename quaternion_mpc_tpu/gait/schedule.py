@@ -116,6 +116,7 @@ class GaitState(NamedTuple):
     target_vel: jnp.ndarray
     target_acc: jnp.ndarray
     terrain_height: jnp.ndarray   # (n_legs,) foot z recorded at stance exit
+    foothold: jnp.ndarray         # (n_legs, 3) rate-limited swing endpoint
 
 
 def init_gait_state(foot_pos_world: jnp.ndarray, pattern: GaitPattern) -> GaitState:
@@ -131,6 +132,7 @@ def init_gait_state(foot_pos_world: jnp.ndarray, pattern: GaitPattern) -> GaitSt
         target_vel=jnp.zeros_like(foot_pos_world),
         target_acc=jnp.zeros_like(foot_pos_world),
         terrain_height=foot_pos_world[..., 2],
+        foothold=foot_pos_world,
     )
 
 
@@ -190,15 +192,47 @@ def gait_update(
         stance_to_swing[..., None], foot_pos_world, state.swing_start_pos
     )
 
+    # rate-limited swing endpoint: the commanded foothold follows the
+    # planner's target with a per-tick step bound. On flat/slope ground the
+    # Raibert target drifts millimeters per tick and the limit never
+    # engages (identical behavior); on stairs the foothold-margin clamp
+    # TELEPORTS the target a stride + a rise when it first clears an edge
+    # (snap_to_ground fall-back), and feeding that discontinuity straight
+    # into the swing curve steps the position command mid-swing — a 48
+    # rad/s PD torque spike (measured). Liftoff snaps directly (the curve
+    # starts at p_start regardless of endpoint, so a fresh endpoint at
+    # t=0 is continuous by construction).
     # per-leg updates in the (possibly new) segment
     denom_new = jnp.maximum(seg_end_new - seg_start, 1e-9)
     percent_new = jnp.clip((phase - seg_start) / denom_new, 0.0, 1.0)
+
+    step_lim = 0.06  # m per FSM tick
+    foothold = state.foothold + jnp.clip(
+        foot_pos_target_world - state.foothold, -step_lim, step_lim
+    )
+    # LATCH after 35% of the swing — but only for riser-scale climbs: a
+    # late endpoint change (or the clearing-profile switch it can trigger)
+    # steps the position command mid-flight; early-swing commands barely
+    # depend on the endpoint, so updates there are continuous. Flat/slope
+    # swings (sub-CLEARING_RISE) keep the reference's continuous mid-swing
+    # Raibert adaptation — with the rate limit never engaging there, their
+    # behavior is unchanged. Stance legs track freely.
+    in_swing_now = (new_state == SWING)
+    climb = (
+        jnp.maximum(state.foothold[..., 2], foot_pos_target_world[..., 2])
+        - swing_start_pos[..., 2]
+    ) > swing_mod.CLEARING_RISE
+    latched = in_swing_now & (percent_new >= 0.35) & climb
+    foothold = jnp.where(latched[..., None], state.foothold, foothold)
+    foothold = jnp.where(
+        stance_to_swing[..., None], foot_pos_target_world, foothold
+    )
     T_swing = 0.5 / gait_freq
     pos, vel, acc = swing_mod.quintic_swing_target(
         0.5 * percent_new / gait_freq * jnp.ones_like(state.phase),
         T_swing * jnp.ones_like(state.phase),
         swing_start_pos,
-        foot_pos_target_world,
+        foothold,
     )
     in_swing = (new_state == SWING)[..., None]
     # stance-enter: freeze the foot where it touched down
@@ -218,6 +252,7 @@ def gait_update(
         target_vel=target_vel,
         target_acc=target_acc,
         terrain_height=terrain_height,
+        foothold=foothold,
     )
 
 

@@ -17,6 +17,68 @@ Z_APEX = 0.1          # m (Utils.cpp:259)
 Z_VEL_LIFTOFF = 0.1   # m/s (Utils.cpp:256)
 Z_VEL_TOUCHDOWN = -0.1
 XY_MID_VEL_GAIN = 1.26  # (Utils.cpp:247)
+# rise threshold that switches a swing to the vertical-first clearing
+# profile: above this the target sits on a HIGHER surface with an obstacle
+# face between (stair riser); the reference's single quintic moves forward
+# while still low and stubs the toe on the face
+CLEARING_RISE = 0.06
+
+
+def _smoothstep(s):
+    s = jnp.clip(s, 0.0, 1.0)
+    return s * s * (3.0 - 2.0 * s)
+
+
+def _smoothstep_d(s):
+    inside = (s >= 0.0) & (s <= 1.0)
+    s = jnp.clip(s, 0.0, 1.0)
+    return jnp.where(inside, 6.0 * s * (1.0 - s), 0.0)
+
+
+def _smoothstep_dd(s):
+    inside = (s >= 0.0) & (s <= 1.0)
+    s = jnp.clip(s, 0.0, 1.0)
+    return jnp.where(inside, 6.0 - 12.0 * s, 0.0)
+
+
+def clearing_swing_target(t, T, p_start, p_end,
+                          f_up: float = 0.4, f_fwd: float = 0.9):
+    """Vertical-FIRST swing for riser-scale climbs (no reference analog —
+    the reference never demonstrates closed-loop stairs at the joint
+    level): rise to the apex over the first ``f_up`` of the swing while
+    holding xy, translate horizontally at apex height over
+    [f_up, f_fwd], descend onto the target over [f_fwd, 1]. All three
+    segments are C1 smoothstep blends with zero boundary velocities, so
+    the foot crosses the riser plane at apex height instead of dragging
+    its toe into the face."""
+    s = t / jnp.maximum(T, 1e-9)
+    z_s, z_e = p_start[..., 2], p_end[..., 2]
+    apex = jnp.maximum(z_s, z_e) + Z_APEX
+
+    s1 = s / f_up
+    s2 = (s - f_up) / (f_fwd - f_up)
+    s3 = (s - f_fwd) / (1.0 - f_fwd)
+    u1, u2, u3 = _smoothstep(s1), _smoothstep(s2), _smoothstep(s3)
+    d1 = _smoothstep_d(s1) / (f_up * T)
+    d2 = _smoothstep_d(s2) / ((f_fwd - f_up) * T)
+    d3 = _smoothstep_d(s3) / ((1.0 - f_fwd) * T)
+    a1 = _smoothstep_dd(s1) / (f_up * T) ** 2
+    a2 = _smoothstep_dd(s2) / ((f_fwd - f_up) * T) ** 2
+    a3 = _smoothstep_dd(s3) / ((1.0 - f_fwd) * T) ** 2
+
+    z = z_s + (apex - z_s) * u1 - (apex - z_e) * u3
+    vz = (apex - z_s) * d1 - (apex - z_e) * d3
+    az = (apex - z_s) * a1 - (apex - z_e) * a3
+
+    dxy = p_end[..., :2] - p_start[..., :2]
+    xy = p_start[..., :2] + dxy * u2[..., None]
+    vxy = dxy * d2[..., None]
+    axy = dxy * a2[..., None]
+
+    pos = jnp.concatenate([xy, z[..., None]], axis=-1)
+    vel = jnp.concatenate([vxy, vz[..., None]], axis=-1)
+    acc = jnp.concatenate([axy, az[..., None]], axis=-1)
+    return pos, vel, acc
 
 
 def _boundary_matrix(T, dtype):
@@ -100,6 +162,16 @@ def quintic_swing_target(
     pos = jnp.einsum("...ak,...k->...a", coeff, tp)
     vel = jnp.einsum("...ak,...k->...a", coeff, tv)
     acc = jnp.einsum("...ak,...k->...a", coeff, ta)
+
+    # riser-scale climbs switch to the vertical-first clearing profile
+    # (the quintic stays bit-exact for every flat/slope swing — the blend
+    # only engages when the target is a full CLEARING_RISE above liftoff)
+    rise = p_end[..., 2] - p_start[..., 2]
+    use_clear = (rise > CLEARING_RISE)[..., None]
+    pos_c, vel_c, acc_c = clearing_swing_target(t, T, p_start, p_end)
+    pos = jnp.where(use_clear, pos_c, pos)
+    vel = jnp.where(use_clear, vel_c, vel)
+    acc = jnp.where(use_clear, acc_c, acc)
     return pos, vel, acc
 
 
