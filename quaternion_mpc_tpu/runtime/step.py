@@ -942,6 +942,7 @@ def make_actuated_walking_step(
     pattern=None,
     n_sub: int = 80,
     per_knot_contacts: bool = True,
+    stance_kp_frac: float = 0.0,
 ):
     """Trot closed over the JOINT-LEVEL plant: the MPC's GRFs reach the
     robot only through the torque layer — swing legs track IK/J⁻¹ targets
@@ -1044,7 +1045,15 @@ def make_actuated_walking_step(
 
         # stance legs: pure torque + joint damping (position PD off, the
         # Unitree stance convention); swing legs: full PD tracking
-        kp_leg = ap.kp_joint * (1.0 - plan_contacts)[:, None]
+        # stance anchoring: walk convention is pure torque + damping
+        # (kp=0, tau_ctrl_update anchors q_cmd at measured q); a nonzero
+        # stance_kp_frac restores a fraction of the position anchor — on
+        # stairs a lightly-loaded just-landed foot otherwise slides
+        # forward under the horizontal GRF component until it jams into
+        # the riser base (measured: 4 cm slide -> corner ring -> kill)
+        kp_leg = ap.kp_joint * (
+            (1.0 - plan_contacts) + stance_kp_frac * plan_contacts
+        )[:, None]
         ap_tick = ap._replace(kp_joint=kp_leg)
         new_robot = art_mod.step(rs, targets, ap_tick, sp.wts.h, n_sub, ext_wrench)
 
@@ -1354,6 +1363,7 @@ def make_estimated_actuated_step(
     mocap_every: int = 5,
     mocap_warmup: int = 10,
     contact_threshold: float = 10.0,
+    stance_kp_frac: float = 0.0,
 ):
     """Estimator + torque layer + gait + terrain in ONE closed loop — the
     composition Gazebo mode actually runs (``GazeboInterface.cpp:58-82``
@@ -1557,7 +1567,15 @@ def make_estimated_actuated_step(
         targets = torque_mod.tau_ctrl_update(fbk, out, ap.rho_fix, plan_contacts)
 
         # stance: pure torque + damping; swing: full PD (actuated convention)
-        kp_leg = ap.kp_joint * (1.0 - plan_contacts)[:, None]
+        # stance anchoring: walk convention is pure torque + damping
+        # (kp=0, tau_ctrl_update anchors q_cmd at measured q); a nonzero
+        # stance_kp_frac restores a fraction of the position anchor — on
+        # stairs a lightly-loaded just-landed foot otherwise slides
+        # forward under the horizontal GRF component until it jams into
+        # the riser base (measured: 4 cm slide -> corner ring -> kill)
+        kp_leg = ap.kp_joint * (
+            (1.0 - plan_contacts) + stance_kp_frac * plan_contacts
+        )[:, None]
         ap_tick = ap._replace(kp_joint=kp_leg)
         new_robot = art_mod.step(rs, targets, ap_tick, sp.wts.h, n_sub, ext_wrench)
 
