@@ -233,6 +233,21 @@ def cmd_run_trot(args) -> dict:
     )
 
 
+def _gait_pattern(name: str):
+    """Gait selection (the reference's set_*_gait_pattern rosparam choices,
+    LeggedContactFSM.cpp:87-206). None -> the step factory's default."""
+    if name == "default":
+        return None
+    from quaternion_mpc_tpu.gait import schedule as sched_mod
+
+    return {
+        "trot": sched_mod.trot_pattern,
+        "trot_stand": sched_mod.trot_with_stand_pattern,
+        "crawl": sched_mod.crawl_pattern,
+        "stand": sched_mod.stand_pattern,
+    }[name]()
+
+
 def cmd_run_actuated(args) -> dict:
     """Joint-level actuated trot: MPC → torque layer → contact physics
     (sim.articulated; the Gazebo-tier closed loop), vmapped over a fleet."""
@@ -244,21 +259,29 @@ def cmd_run_actuated(args) -> dict:
     tp = None
     if args.terrain != "flat":
         tp = terrain_mod.make_terrain(args.terrain, dtype=dtype)
+    pattern = _gait_pattern(args.gait)
+    gait_freq = args.gait_freq if args.gait_freq > 0 else cfg.gait.gait_freq
     joy1 = rt.neutral_joy(dtype)._replace(velx=jnp.asarray(args.velx, dtype))
     if args.kf_type < 0:
         # ground-truth feedback tier
-        carry1, sp1 = rt.init_actuated_scenario(wts, dtype=dtype, terrain=tp)
+        carry1, sp1 = rt.init_actuated_scenario(
+            wts, dtype=dtype, terrain=tp, pattern=pattern
+        )
         step1 = rt.make_actuated_walking_step(
-            horizon=args.horizon, n_sub=args.n_sub
+            horizon=args.horizon, n_sub=args.n_sub, pattern=pattern,
+            gait_freq=gait_freq, stance_kp_frac=args.stance_kp,
         )
         metric_keys = ("vel_err", "height_err", "mpc_cost", "alive")
     else:
         # full Gazebo-parity loop: estimator + torque + gait + terrain
         carry1, sp1 = rt.init_estimated_actuated_scenario(
-            wts, dtype=dtype, terrain=tp, kf_type=args.kf_type
+            wts, dtype=dtype, terrain=tp, kf_type=args.kf_type,
+            pattern=pattern,
         )
         step1 = rt.make_estimated_actuated_step(
-            horizon=args.horizon, n_sub=args.n_sub, kf_type=args.kf_type
+            horizon=args.horizon, n_sub=args.n_sub, kf_type=args.kf_type,
+            pattern=pattern, gait_freq=gait_freq,
+            stance_kp_frac=args.stance_kp,
         )
         metric_keys = ("vel_err", "height_err", "est_err", "mpc_cost", "alive")
     carry = _tile(jnp, carry1, args.batch)
@@ -506,6 +529,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="world: flat | slope | stairs | space")
     p.add_argument("--n_sub", type=int, default=80,
                    help="physics substeps per MPC tick (80 = 0.125 ms at h=10 ms)")
+    p.add_argument("--gait", default="default",
+                   choices=["default", "trot", "trot_stand", "crawl", "stand"],
+                   help="gait pattern (LeggedContactFSM tables); e.g. "
+                        "--gait crawl --gait_freq 1.0 climbs moderate stairs")
+    p.add_argument("--gait_freq", type=float, default=0.0,
+                   help="gait frequency [Hz]; 0 = config preset")
+    p.add_argument("--stance_kp", type=float, default=0.0,
+                   help="fraction of the position anchor kept on stance "
+                        "legs (0 = walk convention; ~0.3 for stairs)")
     p.add_argument("--kf_type", type=int, default=-1,
                    help="-1: ground-truth feedback; 0/1/2: full estimated "
                         "loop (truth passthrough / BasicKF / EKF+mocap)")
