@@ -42,3 +42,24 @@ def test_f32_fleet_matches_f64_fixture_optimum():
     np.testing.assert_allclose(
         u0, np.broadcast_to(gold_us[0], u0.shape), atol=0.5
     )
+
+
+def test_f32_assoc_backend_matches_f64_fixture_optimum():
+    """Same guard for the ASSOCIATIVE-SCAN backend — the single-robot
+    latency path the bench's headline N=10/N=20 cold rows run (B=1, f32 on
+    TPU): its different op order (log-depth combines, one stacked
+    Gauss-Jordan per combine) must also land on the golden optimum."""
+    prob32, gold_us, gold_xs = examples.fixture_fleet_problem(1, jnp.float32)
+    prob64, _, _ = examples.fixture_fleet_problem(1, jnp.float64)
+    spec = quat_mpc._fleet_spec()
+    solver = jax.jit(fl.make_fleet_solver(spec, SolverOptions(), backend="assoc"))
+    sol = solver(prob32)
+
+    gold_cost = _gold_cost(prob64, gold_us, gold_xs)
+    f32_cost = np.asarray(sol.cost, np.float64)
+    assert np.all(np.isfinite(f32_cost))
+    np.testing.assert_allclose(f32_cost, gold_cost, rtol=5e-3)
+    u0 = np.asarray(sol.us[0]).T
+    np.testing.assert_allclose(
+        u0, np.broadcast_to(gold_us[0], u0.shape), atol=0.5
+    )
