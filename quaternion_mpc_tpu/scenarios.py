@@ -187,7 +187,9 @@ def make_receding_step(name: str, opts: SolverOptions = None, **scenario_kw):
     from quaternion_mpc_tpu.sim import plant as plant_mod
     from quaternion_mpc_tpu.solver import make_solver
 
-    spec, prob0, opts0 = SCENARIOS[name](**scenario_kw)
+    # the scenario's own opts are the OFFLINE budget; the receding loop
+    # uses a per-tick budget (below) since warm starts carry convergence
+    spec, prob0, _offline_opts = SCENARIOS[name](**scenario_kw)
     if opts is None:
         # per-tick budget: a few AL rounds; warm start carries convergence
         opts = SolverOptions(
