@@ -107,3 +107,52 @@ def test_per_knot_contacts_build_problem():
     assert bool(jnp.all(jnp.isfinite(sol.us)))
     fz_swing = float(sol.us[0].reshape(4, 3)[1, 2])
     assert abs(fz_swing) < 2.0, f"swing-leg force not gated: {fz_swing}"
+
+
+def test_mixed_terrain_randomized_fleet():
+    """Domain randomization across ONE fleet (the north-star's 'batch axis
+    over randomized gaits/commands/contacts', SURVEY.md §2.3): six scenarios
+    mixing flat / slope / stairs worlds (TerrainParams.kind is per-scenario
+    DATA, traced through one compiled step) with randomized velocity
+    commands, solved by the single batch-last fleet solver. Every scenario
+    must stay alive and behave per ITS world: slope walkers gain height
+    with the ramp, stairs walkers climb, flat walkers stay level."""
+    dtype = jnp.float64
+    wts = quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=dtype)
+    worlds = [
+        tmod.make_terrain("flat", dtype=dtype),
+        tmod.make_terrain("flat", dtype=dtype),
+        tmod.make_terrain("slope", slope_grade=0.15, dtype=dtype),
+        tmod.make_terrain("slope", slope_grade=0.25, dtype=dtype),
+        tmod.make_terrain("stairs", stair_rise=0.17, stair_run=0.30, dtype=dtype),
+        tmod.make_terrain("stairs", stair_rise=0.12, stair_run=0.30, dtype=dtype),
+    ]
+    velxs = [0.25, 0.45, 0.3, 0.25, 0.3, 0.35]  # randomized commands
+    carries, sps, joys = [], [], []
+    for tp, vx in zip(worlds, velxs):
+        c, s = rt.init_walking_scenario(wts, dtype=dtype, terrain=tp)
+        carries.append(c)
+        sps.append(s)
+        joys.append(rt.neutral_joy(dtype)._replace(velx=jnp.asarray(vx, dtype)))
+    stack = lambda *xs: jnp.stack(xs)
+    carry = jax.tree.map(stack, *carries)
+    sp = jax.tree.map(stack, *sps)
+    joy = jax.tree.map(stack, *joys)
+
+    fleet_step = rt.make_fleet_walking_step(horizon=10, opts=OPTS)
+
+    @jax.jit
+    def run(c):
+        return jax.lax.scan(lambda cc, _: fleet_step(cc, sp, joy), c,
+                            None, length=300)
+
+    carry, ms = run(carry)
+    alive = np.asarray(carry.alive)
+    assert alive.all(), f"fleet lost scenarios: {alive}"
+    pos = np.asarray(carry.plant.pos)
+    # all walked forward (randomized speeds, 3 s)
+    assert (pos[:, 0] > 0.4).all(), pos[:, 0]
+    # flat walkers stay at height; slope/stairs walkers gained height
+    assert abs(pos[0, 2] - 0.3) < 0.05 and abs(pos[1, 2] - 0.3) < 0.05
+    assert pos[2, 2] > 0.38 and pos[3, 2] > 0.42, pos[2:4, 2]
+    assert pos[4, 2] > 0.42 and pos[5, 2] > 0.40, pos[4:6, 2]
