@@ -311,11 +311,18 @@ def cmd_run_fleet(args) -> dict:
     if args.batch % n_dev:
         raise SystemExit(f"--batch must divide the {n_dev}-device mesh")
 
-    carry1, sp1 = rt.init_scenario(
-        wts, srb.go1_params(dtype=dtype).foot_pos, dtype=dtype,
-        ctrl_wts=args._ctrl_wts,
-    )
-    joy1 = rt.neutral_joy(dtype)
+    walking = args.walk > 0.0
+    if walking:
+        carry1, sp1 = rt.init_walking_scenario(
+            wts, dtype=dtype, ctrl_wts=args._ctrl_wts
+        )
+        joy1 = rt.neutral_joy(dtype)._replace(velx=jnp.asarray(args.walk, dtype))
+    else:
+        carry1, sp1 = rt.init_scenario(
+            wts, srb.go1_params(dtype=dtype).foot_pos, dtype=dtype,
+            ctrl_wts=args._ctrl_wts,
+        )
+        joy1 = rt.neutral_joy(dtype)
     carry = _tile(jnp, carry1, args.batch)
     sp = _tile(jnp, sp1, args.batch)
     joy = _tile(jnp, joy1, args.batch)
@@ -334,10 +341,17 @@ def cmd_run_fleet(args) -> dict:
 
     # the batch-LAST fleet solver sharded over the scenario mesh: each device
     # solves its local shard in the fast lane-dense layout, metrics psum over
-    # ICI (fleet_shard; the vmapped fleet_map path is the slow fallback)
-    step_fn = rt.make_fleet_standing_step(
-        horizon=args.horizon, controller=args._controller
-    )
+    # ICI (fleet_shard; the vmapped fleet_map path is the slow fallback).
+    # --walk shards the WALKING fleet (gait + warm-start state in the
+    # sharded carry; parity vs single device in test_multichip)
+    if walking:
+        step_fn = rt.make_fleet_walking_step(
+            horizon=args.horizon, controller=args._controller
+        )
+    else:
+        step_fn = rt.make_fleet_standing_step(
+            horizon=args.horizon, controller=args._controller
+        )
     fleet = mesh_mod.fleet_shard(step_fn, mesh)
     carry = mesh_mod.shard_batch(carry, mesh)
     sp = mesh_mod.shard_batch(sp, mesh)
@@ -547,6 +561,9 @@ def build_parser() -> argparse.ArgumentParser:
     _common(p)
     p.add_argument("--checkpoint", default=None, help="save carry here at end")
     p.add_argument("--resume", default=None, help="restore carry from here")
+    p.add_argument("--walk", type=float, default=0.0,
+                   help="shard the WALKING fleet at this velx [m/s] "
+                        "(0 = standing balance)")
     p.set_defaults(fn=cmd_run_fleet)
 
     p = sub.add_parser("bench_solver", help="raw solver throughput")
