@@ -221,25 +221,32 @@ def make_fleet_controller(
     horizon: int,
     opts: SolverOptions = SolverOptions(al_iterations=1, ilqr_iterations=5),
     return_body: bool = False,
+    return_sol: bool = False,
 ):
     """Batch-last convex grf_update over a whole fleet: batch-FIRST
     (fbk, cmd, wts) pytrees in, (grf_world (B, n_feet, 3)[, grf_body], cost)
-    out — same surface as quat_mpc.make_fleet_controller so the runtime
-    steps can route on the `controller` config key."""
+    out — same surface as quat_mpc.make_fleet_controller (including the
+    optional batch-first ``us_init``/``lam_init`` warm starts and
+    return_sol) so the runtime steps can route on the `controller` key."""
     from quaternion_mpc_tpu.solver.fleet import make_fleet_solver
 
     solver = make_fleet_solver(_fleet_spec(), opts)
 
-    def grf_update(fbk, cmd, wts):
+    def grf_update(fbk, cmd, wts, us_init=None, lam_init=None):
         prob = build_fleet_problem(fbk, cmd, wts, horizon)
+        if us_init is not None:
+            prob = prob._replace(us_init=jnp.moveaxis(us_init, 0, -1))
+        if lam_init is not None:
+            prob = prob._replace(lam_init=jnp.moveaxis(lam_init, 0, -1))
         sol = solver(prob)
         u0 = jnp.moveaxis(sol.us[0], -1, 0)  # (B, 12) world frame
         grf_world = u0.reshape(u0.shape[0], -1, 3)
         rot = lie.quat_to_rotmat(fbk.torso_quat)  # (B, 3, 3)
         grf_body = jnp.einsum("bij,bfi->bfj", rot, grf_world)  # Rᵀ·u rows
-        if return_body:
-            return grf_world, grf_body, sol.cost
-        return grf_world, sol.cost
+        out = (grf_world, grf_body, sol.cost) if return_body else (grf_world, sol.cost)
+        if return_sol:
+            return out + (sol,)
+        return out
 
     return grf_update
 

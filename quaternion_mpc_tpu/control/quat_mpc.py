@@ -251,30 +251,43 @@ def make_fleet_controller(
     zero_initial_omega: bool = True,
     return_body: bool = False,
     backend: str = "auto",
+    return_sol: bool = False,
 ):
     """Batch-last grf_update over a whole fleet at once.
 
     Takes batch-FIRST (fbk, cmd, wts) pytrees (natural user layout), returns
     (grf_world (B, n_feet, 3), cost (B,)); with return_body=True returns
-    (grf_world, grf_body, cost). ``backend`` selects the Riccati sweep
-    (solver/fleet.py make_fleet_solver): "assoc" is the horizon-parallel
-    associative-scan pass for small-batch latency.
+    (grf_world, grf_body, cost); with return_sol=True additionally the raw
+    batch-last FleetSolution (for cross-tick warm-start carries). ``backend``
+    selects the Riccati sweep (solver/fleet.py make_fleet_solver): "assoc"
+    is the horizon-parallel associative-scan pass for small-batch latency.
+
+    ``grf_update`` accepts optional batch-FIRST warm starts — ``us_init``
+    (B, N, nu) primals and ``lam_init`` (B, N, nc) AL multipliers — the
+    fleet-wide equivalent of the reference's SetState/SetInput cross-tick
+    warm starting (QuatMpc.cpp:250-253); the transpose to the solver's
+    batch-last layout happens here at the boundary.
     """
     from quaternion_mpc_tpu.ops import lie as lie_mod
     from quaternion_mpc_tpu.solver.fleet import make_fleet_solver
 
     solver = make_fleet_solver(_fleet_spec(), opts, backend=backend)
 
-    def grf_update(fbk, cmd, wts):
+    def grf_update(fbk, cmd, wts, us_init=None, lam_init=None):
         prob = build_fleet_problem(fbk, cmd, wts, horizon, zero_initial_omega)
+        if us_init is not None:
+            prob = prob._replace(us_init=jnp.moveaxis(us_init, 0, -1))
+        if lam_init is not None:
+            prob = prob._replace(lam_init=jnp.moveaxis(lam_init, 0, -1))
         sol = solver(prob)
         u0 = jnp.moveaxis(sol.us[0], -1, 0)  # (B, 12)
         grf_body = u0.reshape(u0.shape[0], -1, 3)
         rot = lie_mod.quat_to_rotmat(fbk.torso_quat)  # (B, 3, 3)
         grf_world = jnp.einsum("bij,bfj->bfi", rot, grf_body)
-        if return_body:
-            return grf_world, grf_body, sol.cost
-        return grf_world, sol.cost
+        out = (grf_world, grf_body, sol.cost) if return_body else (grf_world, sol.cost)
+        if return_sol:
+            return out + (sol,)
+        return out
 
     return grf_update
 

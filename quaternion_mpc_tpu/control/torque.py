@@ -18,6 +18,11 @@ from quaternion_mpc_tpu.kin import leg
 from quaternion_mpc_tpu.ops import lie
 
 
+# Go1 per-joint actuator velocity limits [hip, thigh, calf] rad/s
+# (go1.urdf limit attrs: effort/velocity per joint type).
+JOINT_VEL_LIMIT = (30.1, 30.1, 20.06)
+
+
 class JointTargets(NamedTuple):
     q: jnp.ndarray    # (n_legs, 3)
     dq: jnp.ndarray   # (n_legs, 3)
@@ -43,13 +48,15 @@ def tau_ctrl_update(
     foot_vel_body = (out.foot_vel_target_world - fbk.torso_lin_vel_world) @ rot
     J = leg.jac(q, rho_fix)
     dq_tgt = jnp.linalg.solve(J, foot_vel_body[..., None])[..., 0]
-    # Go1 actuator velocity limit (go1.urdf joint velocity attrs): near a
-    # kinematic singularity — or with the swing foot physically blocked by
-    # an obstacle (stair riser face) — J⁻¹ demands divergent joint speeds
-    # the real firmware could never track; an unclamped Kd term then pumps
-    # the impact into a joint-velocity runaway (measured 95 rad/s on
-    # stairs). Same clamp the pinned-feet sensor model applies.
-    dq_tgt = jnp.clip(dq_tgt, -21.0, 21.0)
+    # Go1 per-joint actuator velocity limits (go1.urdf limit attrs: hip and
+    # thigh 30.1 rad/s, calf 20.06 rad/s): near a kinematic singularity — or
+    # with the swing foot physically blocked by an obstacle (stair riser
+    # face) — J⁻¹ demands divergent joint speeds the real firmware could
+    # never track; an unclamped Kd term then pumps the impact into a
+    # joint-velocity runaway (measured 95 rad/s on stairs). Same clamp the
+    # pinned-feet sensor model applies.
+    vlim = jnp.asarray(JOINT_VEL_LIMIT, dtype=dq_tgt.dtype)
+    dq_tgt = jnp.clip(dq_tgt, -vlim, vlim)
 
     # stance: τ = −Jᵀ f (body-frame GRF), swing: τ = 0 (:367-371)
     tau_stance = -jnp.einsum("ljk,lj->lk", J, out.grf_body)

@@ -144,10 +144,26 @@ def update(state: KFState, inp: KFInputs, dt,
     # innovation gate on the height rows: a residual far beyond what a
     # mm-grade height measurement can produce means the reference itself is
     # wrong (foot on the other side of a riser) — de-weight smoothly, and
-    # only for stance feet (swing feet are already ×1e3 inflated)
+    # only for stance feet (swing feet are already ×1e3 inflated).
+    # Two re-entry paths keep a confidently-wrong z estimate from locking
+    # in (the gate would otherwise suppress exactly the only absolute-height
+    # measurement that could correct it, since R grows ~err² while P grows
+    # only ~1e-4/tick):
+    #  (a) the inflation is CAPPED — a gated measurement still corrects,
+    #      just ~1000× slower, so a post-transient offset decays instead of
+    #      persisting forever;
+    #  (b) CONSENSUS disable — when every stance foot gates at once, the
+    #      innovations agree and the terrain-aliasing hypothesis (one foot
+    #      on the wrong side of a riser) cannot explain them; a common
+    #      offset is estimator error, so the gate stands down entirely.
     innov_h = (y - yhat)[24:28]
     a2 = (innov_h / HEIGHT_INNOVATION_GATE) ** 2
-    gate = 1.0 + jnp.maximum(a2 - 1.0, 0.0) * 1e3
+    gate = 1.0 + jnp.minimum(jnp.maximum(a2 - 1.0, 0.0) * 1e3, 1e3)
+    stance = contact > 0.5
+    n_stance = jnp.sum(stance)
+    n_gated = jnp.sum(stance & (a2 > 1.0))
+    consensus = (n_stance > 0) & (n_gated == n_stance)
+    gate = jnp.where(consensus, 1.0, gate)
     Rd = jnp.concatenate(
         [
             jnp.repeat(infl * SENSOR_NOISE_PIMU_REL_FOOT, 3),

@@ -733,18 +733,33 @@ def run_hardware_loopback(
         est_wall = 0.0
 
     tick_wall_sync = tick_wall
-    if async_mpc and not three_tier:
+    if async_mpc:
         # pipelined per-tick time: dispatch a chain pulling only the LAST
-        # result — the rate bound the one-tick-delay loop actually pays
+        # result — the rate bound the one-tick-delay loop actually pays.
+        # Measured for BOTH tick shapes (fused single-tier and the
+        # three-tier ctrl_core), since the main loop applies the one-slot
+        # pipeline in both modes — keying auto_rate on the sync wall time
+        # with --async_mpc --est_rate set would forfeit the rate recovery.
         t0 = time.perf_counter()
-        c_w = carry
-        cmd_last = None
-        for _ in range(4):
-            c_w, cmd_last, _ = tick_fn(
-                c_w, sensors0, dt0, joy_neutral, wts, ap.rho_fix,
-                ap.kp_joint, ap.kd_joint,
-            )
-        np.asarray(cmd_last)
+        if three_tier:
+            c_w = carry
+            cmd_last = None
+            for _ in range(4):
+                c_w, cmd_last, _ = ctrl_jit(
+                    c_w, sensors0, kf_w, pos_w0, vel_w0,
+                    dt0, joy_neutral, wts, ap.rho_fix, ap.kp_joint,
+                    ap.kd_joint,
+                )
+            np.asarray(cmd_last)
+        else:
+            c_w = carry
+            cmd_last = None
+            for _ in range(4):
+                c_w, cmd_last, _ = tick_fn(
+                    c_w, sensors0, dt0, joy_neutral, wts, ap.rho_fix,
+                    ap.kp_joint, ap.kd_joint,
+                )
+            np.asarray(cmd_last)
         tick_wall = (time.perf_counter() - t0) / 4.0
 
     mpc_rate_req = mpc_rate

@@ -96,9 +96,14 @@ def _pinned_feet_joint_state(ps, foot_pos_body, foot_vel_world, rho_fix):
 
     with v_f = 0 for stance feet and the FSM swing velocity otherwise.
 
-    dq is clamped to ±21 rad/s (the Go1 actuator velocity limit,
-    go1.urdf joint velocity attrs): near workspace edges J⁻¹ spikes are a
-    pinned-feet model artifact a real encoder could never report.
+    dq is clamped to a uniform ±21 rad/s — a conservative bound near the
+    Go1 calf actuator limit (go1.urdf: 20.06 rad/s calf, 30.1 hip/thigh),
+    deliberately BELOW the 30 rad/s safety kill threshold
+    (LeggedSafetyChecker.hpp:16-30): near workspace edges J⁻¹ spikes are a
+    pinned-feet model artifact a real encoder could never report, and this
+    emulated sensor feeds `safety.is_safe` — an artifact must suppress,
+    not kill the scenario. (The COMMANDED swing velocity targets use the
+    true per-joint limits — control.torque.JOINT_VEL_LIMIT.)
     """
     from quaternion_mpc_tpu.kin import leg as leg_mod
 
@@ -124,15 +129,19 @@ def _make_grf_update(controller: str, horizon, opts, zero_initial_omega):
     raise ValueError(f"controller must be 'quat' or 'convex', got {controller!r}")
 
 
-def _make_fleet_grf(controller: str, horizon, opts, zero_initial_omega):
+def _make_fleet_grf(controller: str, horizon, opts, zero_initial_omega,
+                    return_sol: bool = False):
     if controller == "quat":
         return quat_mpc.make_fleet_controller(
-            horizon, opts, zero_initial_omega=zero_initial_omega, return_body=True
+            horizon, opts, zero_initial_omega=zero_initial_omega,
+            return_body=True, return_sol=return_sol,
         )
     if controller == "convex":
         from quaternion_mpc_tpu.control import convex_mpc
 
-        return convex_mpc.make_fleet_controller(horizon, opts, return_body=True)
+        return convex_mpc.make_fleet_controller(
+            horizon, opts, return_body=True, return_sol=return_sol
+        )
     raise ValueError(f"controller must be 'quat' or 'convex', got {controller!r}")
 
 
@@ -1198,10 +1207,20 @@ def make_fleet_walking_step(
     pattern=None,
     per_knot_contacts: bool = True,
     controller: str = "quat",
+    warm_start: bool = False,
+    dual_warm: bool = False,
 ):
     """Fleet-native trot step: gait/kinematics/Raibert stages vmapped, the
     MPC solve through the batch-last fleet solver (see
-    `make_fleet_standing_step`). Batch-leading (carry, sp, joy) pytrees."""
+    `make_fleet_standing_step`). Batch-leading (carry, sp, joy) pytrees.
+
+    ``warm_start``/``dual_warm``: cross-tick primal/dual warm starting
+    through the fleet solver (QuatMpc.cpp:250-253 semantics), consuming and
+    refreshing ``carry.us_prev``/``carry.lam_prev``. Whatever the flags,
+    ``us_prev``/``lam_prev`` are passed through ``post`` unchanged when not
+    consumed, so a carry built with ``init_walking_scenario(warm_start=True)``
+    keeps a stable pytree structure across ticks (required by lax.scan
+    drivers and jit caching)."""
     from quaternion_mpc_tpu.gait import raibert as raibert_mod
     from quaternion_mpc_tpu.gait import schedule as sched_mod
     from quaternion_mpc_tpu.kin import leg as leg_mod
@@ -1210,7 +1229,9 @@ def make_fleet_walking_step(
 
     if pattern is None:
         pattern = sched_mod.trot_pattern()
-    fleet_grf = _make_fleet_grf(controller, horizon, opts, zero_initial_omega=False)
+    fleet_grf = _make_fleet_grf(controller, horizon, opts,
+                                zero_initial_omega=False,
+                                return_sol=warm_start)
 
     def pre(carry: WalkingCarry, sp: ScenarioParams, joy: goals.JoyCommand):
         ps = carry.plant
@@ -1278,7 +1299,7 @@ def make_fleet_walking_step(
         return fbk, cmd, goal, gait, plan_contacts, foot_pos_body, terr_est, ground_z
 
     def post(carry, sp, joy, goal, gait, plan_contacts, foot_pos_body, terr_est,
-             ground_z, grf_body, cost, ext):
+             ground_z, grf_body, cost, ext, us_prev, lam_prev):
         ps = carry.plant
         dtype = ps.pos.dtype
         f_body = grf_body * plan_contacts[:, None]
@@ -1309,17 +1330,35 @@ def make_fleet_walking_step(
         )
         return (
             WalkingCarry(plant=kept_plant, goal=goal, gait=gait,
-                         feet_world=feet_world, alive=alive, terrain_est=terr_est),
+                         feet_world=feet_world, alive=alive, terrain_est=terr_est,
+                         us_prev=us_prev, lam_prev=lam_prev),
             metrics,
         )
 
     def fleet_step(carry, sp, joy, ext_wrench=None):
         (fbk, cmd, goal, gait, plan_contacts, foot_pos_body, terr_est,
          ground_z) = jax.vmap(pre)(carry, sp, joy)
-        _, grf_body, cost = fleet_grf(fbk, cmd, sp.wts)
+        if warm_start:
+            # carry.lam_prev is stored in the single-path layout (B, N+1, nc)
+            # incl. the terminal row; the fleet solver's multipliers cover
+            # the N input knots, so slice/zero-pad at this boundary.
+            lam_in = carry.lam_prev[:, :-1] if dual_warm else None
+            _, grf_body, cost, sol = fleet_grf(
+                fbk, cmd, sp.wts, us_init=carry.us_prev, lam_init=lam_in
+            )
+            us_prev = jnp.moveaxis(sol.us, -1, 0)  # (B, N, nu)
+            if dual_warm:
+                lam_bf = jnp.moveaxis(sol.lam, -1, 0)  # (B, N, nc)
+                lam_prev = carry.lam_prev.at[:, :-1].set(lam_bf)
+            else:
+                lam_prev = carry.lam_prev
+        else:
+            _, grf_body, cost = fleet_grf(fbk, cmd, sp.wts)
+            us_prev = carry.us_prev
+            lam_prev = carry.lam_prev
         return jax.vmap(post)(
             carry, sp, joy, goal, gait, plan_contacts, foot_pos_body, terr_est,
-            ground_z, grf_body, cost, ext_wrench
+            ground_z, grf_body, cost, ext_wrench, us_prev, lam_prev
         )
 
     return fleet_step

@@ -116,10 +116,15 @@ def contact_geometry(tp: TerrainParams, pos_world: jnp.ndarray):
     n_surf = normal(tp, xy)
     pen_v = height(tp, xy) - z
 
-    # horizontal depth past the current riser face (stairs climb in +x)
+    # horizontal depth past the current riser face (stairs climb in +x).
+    # The FIRST riser is at x = stair_run — for x in [0, stair_run) the foot
+    # is on the flat approach with no face behind it, so the face branch
+    # must stay inert there (same base>0 guard as snap_to_ground): without
+    # it, a stance foot within the ~1 cm blend band past the stairs origin
+    # gets a spuriously face-weighted, reduced-normal contact on flat ground.
     x_rel = x - tp.stair_run * jnp.floor(jnp.maximum(x, 0.0) / tp.stair_run)
     big = jnp.asarray(1e3, pos_world.dtype)
-    depth_h = jnp.where(x > 0.0, x_rel, big)
+    depth_h = jnp.where(x >= tp.stair_run, x_rel, big)
     # SMOOTH face/tread blend: a hard switch makes the normal flip
     # direction every substep for a foot wedged exactly at the step corner
     # (depth_h ≈ pen_v), which rings the low-inertia calf against the

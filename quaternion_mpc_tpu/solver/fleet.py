@@ -459,7 +459,8 @@ def riccati_step(spec, prob, carry, x, x1, u, x_ref, u_ref, k_lam, k_cb, rho, re
     Qxx = lxx + bmm(AtV, A)
     Quu = luu + bmm(BtV, B_)
     Qux = bmm(BtV, A)
-    d, K = solve_spd_multi(Quu + reg * eye_u, [Qu, Qux])
+    with jax.named_scope("gj_solve"):
+        d, K = solve_spd_multi(Quu + reg * eye_u, [Qu, Qux])
     d, K = -d, -K
     KtQuu = bmm(bt(K), Quu)
     Vx_n = Qx + bmv(KtQuu, d) + bmv(bt(K), Qu) + bmv(bt(Qux), d)
@@ -504,12 +505,13 @@ def riccati_backward(spec, prob, xs, us, lam, rho, reg, unroll: bool = False):
             spec, prob, carry, x, x1, u, x_ref, u_ref, k_lam, k_cb, rho, reg
         )
 
-    (_, _), (Ks, ds, dV1s, dV2s, gs) = jax.lax.scan(
-        step,
-        (lxN, lxxN),
-        (xs[:-1], xs[1:], us, prob.x_ref[:-1], prob.u_ref[:-1], lam, cbs),
-        reverse=True,
-    )
+    with jax.named_scope("riccati_backward"):
+        (_, _), (Ks, ds, dV1s, dV2s, gs) = jax.lax.scan(
+            step,
+            (lxN, lxxN),
+            (xs[:-1], xs[1:], us, prob.x_ref[:-1], prob.u_ref[:-1], lam, cbs),
+            reverse=True,
+        )
     return Ks, ds, jnp.sum(dV1s, axis=0), jnp.sum(dV2s, axis=0), jnp.max(gs, axis=0)
 
 
@@ -639,7 +641,8 @@ def make_fleet_solver(
                 )
                 return xs_a, us_a, total_cost(spec, xs_a, us_a, prob, lam, rho)
 
-            xs_m, us_m, J_m = jax.vmap(roll_one)(alphas)  # (K, ...), J_m (K, B)
+            with jax.named_scope("linesearch_rollouts"):
+                xs_m, us_m, J_m = jax.vmap(roll_one)(alphas)  # (K,...), J_m (K,B)
             expected = -(alphas[:, None] * dV1[None, :] + (alphas**2)[:, None] * dV2[None, :])
             ok = jnp.where(
                 expected > 0.0,
@@ -654,9 +657,10 @@ def make_fleet_solver(
             # states (the divergence case backtracking exists for); a 0/1
             # weighted SUM would turn 0·Inf into NaN and silently discard the
             # accepted step, so mask with `where` before reducing.
-            selm = sel[:, None, None, :]
-            xs_ls = jnp.sum(jnp.where(selm, xs_m, 0.0), axis=0)
-            us_ls = jnp.sum(jnp.where(selm, us_m, 0.0), axis=0)
+            with jax.named_scope("ls_select"):
+                selm = sel[:, None, None, :]
+                xs_ls = jnp.sum(jnp.where(selm, xs_m, 0.0), axis=0)
+                us_ls = jnp.sum(jnp.where(selm, us_m, 0.0), axis=0)
             J_ls = jnp.sum(jnp.where(sel, J_m, 0.0), axis=0) + jnp.where(
                 accepted, 0.0, J
             )

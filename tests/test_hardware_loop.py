@@ -353,8 +353,9 @@ def test_three_tier_walk_survival():
     and the measured walk survival IMPROVES over the two-tier's documented
     ~2/3 — 8/8 consecutive runs on an idle host at this config (and 8/8 at
     mpc 100 Hz). The MECHANISM asserts hold for every run; survival is a
-    count (>= 2 of 4) because OS scheduling nondeterminism is real even in
-    isolation.
+    count (>= 3 of 4 — matching the measured 8/8-in-isolation rate with one
+    run of headroom, because OS scheduling nondeterminism is real even in
+    subprocess isolation; a coin-flip controller cannot pass this gate).
 
     Process isolation matters: in a long pytest process the accumulated
     heap/jit state adds multi-ms jitter spikes that tip the walk at rates
@@ -392,7 +393,7 @@ def test_three_tier_walk_survival():
         assert s["est_rate_used"] >= 150.0  # estimator >= servo rate
         assert s["final_est_err"] < 0.05, s
     survived = sum(1 for s in runs if s["upright"])
-    assert survived >= 2, [s["final_height"] for s in runs]
+    assert survived >= 3, [s["final_height"] for s in runs]
     # survivors actually walked
     assert all(
         s["walk_distance_m"] > 0.1 for s in runs if s["upright"]
