@@ -29,8 +29,14 @@ Reports (stderr details, ONE JSON line on stdout):
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# must precede the first google.protobuf import anywhere in the process:
+# the xplane-parsing protos in this image predate protoc 3.19 and only load
+# under the pure-python protobuf backend (see experiments/profile_roofline.py)
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 import numpy as np
 
@@ -203,6 +209,75 @@ def _mfu_from_compiled(horizon, opts, dtype, p50_s, batch):
     return out
 
 
+def _hbm_roofline_profiled(step_jit, args, batch, reps=3):
+    """Measured (hardware-counter) roofline position via a jax.profiler
+    device trace: per-op self-time and memory bandwidth as the TPU reports
+    them, plus a same-trace CALIBRATION kernel (256 MB copy-scale) whose
+    achieved GB/s is the practical HBM stream rate on this chip. Returns a
+    dict of bench columns or None (best-effort: the xplane tooling may be
+    absent). This grounds what the op-level cost-analysis numbers cannot:
+    whether the dominant op is AT the memory speed-of-light (then further
+    throughput must come from cutting bytes) or below it."""
+    try:
+        import glob
+        import tempfile
+
+        import jax
+        import jax.numpy as jnp
+        from xprof.convert import raw_to_tool_data as rtd
+
+        xcal = jnp.zeros((64, 1024, 1024), jnp.float32)
+        fcal = jax.jit(lambda a: a * 1.000001 + 1.0)
+        np.asarray(fcal(xcal)[0, 0, 0])  # compile + sync
+
+        tdir = tempfile.mkdtemp(prefix="qmpc_bench_prof_")
+        with jax.profiler.trace(tdir):
+            c = None
+            for _ in range(reps):
+                _g, c = step_jit(*args)
+            np.asarray(c[:1])
+            y = None
+            for _ in range(reps):
+                y = fcal(xcal)
+            np.asarray(y[0, 0, 0])
+        files = sorted(glob.glob(tdir + "/**/*.xplane.pb", recursive=True))
+        data, _ = rtd.xspace_to_tool_data(files, "framework_op_stats", {})
+        if isinstance(data, bytes):
+            data = data.decode()
+        tab = json.loads(data)[0]
+        cols = [c_["id"] for c_ in tab["cols"]]
+        rows = [
+            {k: c_.get("v") for k, c_ in zip(cols, r["c"])} for r in tab["rows"]
+        ]
+        dev = [
+            r for r in rows
+            if r.get("host_or_device") == "Device" and r.get("type") != "IDLE"
+        ]
+        solver = [r for r in dev if "grf_update" in (r.get("operation") or "")]
+        cal = [r for r in dev if "lambda" in (r.get("operation") or "")]
+        if not solver:
+            return None
+        busy_us = sum(r["total_self_time"] for r in solver)
+        top = max(solver, key=lambda r: r["total_self_time"])
+        cal_bw = max(
+            (r.get("measured_memory_bw") or 0.0 for r in cal), default=0.0
+        )
+        busy_ms = busy_us / 1e3 / reps
+        return {
+            "device_busy_ms_per_step": round(busy_ms, 2),
+            "solves_per_sec_device": round(batch / (busy_ms / 1e3), 1),
+            "dominant_op_pct_device_time": round(
+                100.0 * top["total_self_time"] / busy_us, 1
+            ),
+            "dominant_op_gbps": round(top.get("measured_memory_bw") or 0.0, 1),
+            "dominant_op_bound_by": top.get("bound_by"),
+            "hbm_stream_gbps_calibration": round(cal_bw, 1),
+        }
+    except Exception as e:  # tooling absent / tunnel hiccup — not fatal
+        print(f"[bench] hbm roofline profile unavailable ({e})", file=sys.stderr)
+        return None
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -281,6 +356,53 @@ def main():
     convex_p50 = _p50(lambda: convex_jit(*cargs)[0])
     convex_sps = 4096 / convex_p50
     convex_cost = jnp.mean(cc)
+
+    # ---- ESTIMATED fleet throughput: the full sensors→KF→MPC→plant loop
+    # (GazeboInterface-shaped, derived-only sensing + per-scenario Gaussian
+    # sensor noise) as the data-parallel axis — solves/s with estimation
+    # genuinely in the loop, not just the ground-truth SRB tier ----
+    from quaternion_mpc_tpu.runtime import step as rt_step
+    from quaternion_mpc_tpu.utils import config as cfg_mod
+
+    eB = 4096
+    ewts = quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=dtype)
+    ecarry1, esp1 = rt_step.init_estimated_walking_scenario(
+        ewts, dtype=dtype, kf_type=1
+    )
+    ejoy1 = rt_step.neutral_joy(dtype)._replace(velx=jnp.asarray(0.3, dtype))
+    etile = lambda t: jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (eB,) + a.shape), t
+    )
+    ecarry, esp, ejoy = etile(ecarry1), etile(esp1), etile(ejoy1)
+    ecarry = ecarry._replace(key=jax.random.split(jax.random.PRNGKey(0), eB))
+    ecarry, esp, ejoy = jax.device_put((ecarry, esp, ejoy), dev)
+    estep_jit = jax.jit(rt_step.make_fleet_estimated_step(
+        horizon=horizon, opts=opts_tp, kf_type=1,
+        noise_acc=0.2, noise_gyro=0.02, noise_foot_vel=0.02,
+        noise_foot_pos=0.003,
+    ))
+    ecarry_w, em = estep_jit(ecarry, esp, ejoy)
+    jax.block_until_ready(ecarry_w.plant.pos)
+    est_p50 = _p50(lambda: estep_jit(ecarry, esp, ejoy)[0].plant.pos)
+    est_sps = eB / est_p50
+
+    # ---- measured HBM roofline position (device trace). Placed AFTER all
+    # _p50/block_until_ready throughput timing: its device->host pulls flip
+    # the backend into the ~25 ms-per-dispatch sync mode (see module
+    # docstring); the latency sections below already time with _p50_pull ----
+    hbm = _hbm_roofline_profiled(step_jit, args, batch=16384)
+    if hbm:
+        _PARTIAL.update(hbm)
+        print(
+            f"[bench] device roofline: busy {hbm['device_busy_ms_per_step']} "
+            f"ms/step (device-only {hbm['solves_per_sec_device']:,.0f} "
+            f"solves/s); dominant op {hbm['dominant_op_pct_device_time']}% of "
+            f"device time at {hbm['dominant_op_gbps']} GB/s "
+            f"(bound_by={hbm['dominant_op_bound_by']}) vs "
+            f"{hbm['hbm_stream_gbps_calibration']} GB/s measured stream "
+            f"calibration (819 spec)",
+            file=sys.stderr,
+        )
 
     # ---- single-robot latency: per-tick inside one scanned dispatch ----
     K = 50  # ticks per scanned dispatch (0.25 s of 200 Hz control)
@@ -368,6 +490,11 @@ def main():
         f"{convex_sps:,.0f} solves/s, mean cost {float(convex_cost):.4f}",
         file=sys.stderr,
     )
+    print(
+        f"[bench] estimated fleet (KF+noise in loop) batch={eB}: p50 step "
+        f"{est_p50*1e3:.2f} ms, {est_sps:,.0f} solves/s",
+        file=sys.stderr,
+    )
     for label, tick_s in lat_rows:
         print(
             f"[bench] latency B=1 {label}: {tick_s*1e3:.3f} ms/tick "
@@ -416,14 +543,26 @@ def main():
         "meets_5ms_contract_N10": bool(lat_rows[0][1] * 1e3 < 5.0),
         # BASELINE north star: <2 ms/solve on one chip — keyed to the
         # N=10 warm-RTI row (the deployment mode the reference's own
-        # SetState/SetInput warm starting implies)
+        # SetState/SetInput warm starting implies); the _cold variant is
+        # the same budget with NO cross-tick warm start (full 2AL×5 solve)
         "meets_2ms_north_star": bool(lat_rows[2][1] * 1e3 < 2.0),
+        "meets_2ms_north_star_cold": bool(lat_rows[0][1] * 1e3 < 2.0),
         "convex_solves_per_sec": round(convex_sps, 1),
+        "estimated_fleet_solves_per_sec": round(est_sps, 1),
         "dispatch_floor_ms": round(floor_ms, 2),
         "f32_fixture_ok": f32_ok,
+        # >16k batch collapse mechanism (measured, r5 device profile):
+        # compute reduce_sum scales exactly linearly 16k→32k while
+        # slice/concat/while-bookkeeping ops blow up 3-6× with apparent BW
+        # dropping 5.2→1.3 TB/s — a VMEM capacity cliff: past B≈16k the
+        # (12,12,B) slabs no longer stay VMEM-resident across fusion
+        # boundaries and layout ops become HBM copies.
+        "batch_cliff_mechanism": "vmem-capacity: layout ops spill past B~16k",
     }
     if mfu:
         result.update(mfu)
+    if hbm:
+        result.update(hbm)
     print(json.dumps(result))
 
 

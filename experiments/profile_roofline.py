@@ -75,7 +75,8 @@ def aggregate(rows, reps):
     for r in dev:
         name = r["operation"]
         key = "other"
-        for s in ("riccati_backward", "gj_solve", "linesearch_rollouts",
+        # inner scopes first: a nested op name contains both scope strings
+        for s in ("gj_solve", "riccati_backward", "linesearch_rollouts",
                   "ls_select"):
             if s in name:
                 key = s

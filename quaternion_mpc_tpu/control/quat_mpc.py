@@ -230,6 +230,7 @@ def _fleet_spec():
     if FLEET_MODEL_SPEC is None:
         from quaternion_mpc_tpu.models.srb import (
             quat_srb_dynamics_fleet,
+            quat_srb_error_discrete_jac_fleet,
             quat_srb_jacobian_fleet,
         )
         from quaternion_mpc_tpu.solver.fleet import FleetModelSpec
@@ -241,6 +242,14 @@ def _fleet_spec():
             fj=quat_srb_jacobian_fleet,
             quat_idx=3,
             integrator="midpoint",
+            edj=quat_srb_error_discrete_jac_fleet,
+            # edj_blocks (quat_srb_edj_blocks) deliberately NOT wired:
+            # measured r5 on v5e B=16384 — writing the sweep's Q-terms
+            # against the block sparsity (fleet._structured_q_terms) ran
+            # 191 ms vs 169 ms for dense bmm over the structured-edj Ae/Be:
+            # the 4-piece concat/tile assembly materializes more slabs than
+            # the fused dense reduce_sum chain moves. Kept as the blueprint
+            # for an in-VMEM fused kernel, where assembly is free.
         )
     return FLEET_MODEL_SPEC
 

@@ -347,6 +347,233 @@ def quat_srb_jacobian_fleet(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp
     return jnp.concatenate([top, qrows, vrows, wrows], axis=0)
 
 
+def quat_srb_error_discrete_jac_fleet(x, x1, u, p: SrbParams, h):
+    """Error-state discrete Jacobians (Ae (12,12,B), Be (12,12·n_feet/4…,B))
+    for the batch-last quaternion SRB under midpoint discretization,
+    computed BLOCKWISE from the model's sparsity.
+
+    Mathematically identical (exact algebra, not an approximation) to the
+    generic path E(x1)ᵀ·[I + h·Am·(I + ½h·A)]·E(x) with A/Am the dense
+    continuous Jacobians (`quat_srb_jacobian_fleet`) — but exploiting that
+    the quat SRB's A has only three nonzero blocks (ṗ/∂v = I; q̇/∂q = ½R([0,ω]);
+    q̇/∂ω = ½G(q); v̇ and ω̇ are state-independent, AltroUtils.cpp:363-439)
+    and B is state-independent. The dense path builds two (13, 13+nu, B)
+    Jacobians, two (13, 12, B) E-projections, and three 13-wide
+    contractions per knot (~8k flops, ~10 slab materializations); the
+    block form is ~600 flops on 4×4/4×3 tiles. Measured at fleet batch
+    sizes the backward pass is HBM-bound (bench roofline), so the cut in
+    materialized intermediates is the point.
+
+    Derivation (midpoint, Ad = I + h·Am + ½h²·Am·A):
+      Am·A rows 3:7 are the only nonzero rows: [½Rw_m·½Rw  at cols 3:7,
+      ½Rw_m·½G at cols 10:13]; so with D_qq = I₄ + h·½Rw_m + ½h²·(½Rw_m·½Rw)
+      and D_qω = h·½G_m + ½h²·(½Rw_m·½G):
+        Ae = [[I₃, 0, h·I₃, 0],
+              [0, G₁ᵀ·D_qq·G₀, 0, G₁ᵀ·D_qω],
+              [0, 0, I₃, 0],
+              [0, 0, 0, I₃]]
+        Be = [[½h²·Bv], [G₁ᵀ·(½h²·½G_m·Bω)], [h·Bv], [h·Bω]]
+      with Bv = (1/m)[I₃ …] and Bω = [I⁻¹·skew(rᵢ) …] the force rows.
+    """
+    dtype = x.dtype
+    q = x[3:7]
+    omega = x[10:13]
+    n_feet = p.foot_pos.shape[0]
+    n_u = 3 * n_feet
+
+    # midpoint state pieces actually needed: q_m, ω_m
+    g_body = -GRAVITY * p.rot_body_to_world[2]
+    forces = u.reshape(n_feet, 3, -1)
+    moment = jnp.sum(jnp.cross(p.foot_pos, forces, axis=1), axis=0)
+    moment = moment + jnp.cross(p.com_offset, p.com_mass * g_body, axis=0)
+    inv_inertia = _inv3_bl(p.inertia)
+    omega_dot = jnp.sum(inv_inertia * moment[None, :, :], axis=1)
+    q_dot = 0.5 * jnp.sum(_quat_G_bl(q) * omega[None, :, :], axis=1)
+    q_m = q + 0.5 * h * q_dot
+    w_m = omega + 0.5 * h * omega_dot
+
+    def half_Rw(w):
+        """½·R([0, w]) — the right-multiplication matrix of a pure-vector
+        quaternion, (4, 4, B)."""
+        wx, wy, wz = w[0], w[1], w[2]
+        z = jnp.zeros_like(wx)
+        return 0.5 * jnp.stack(
+            [
+                jnp.stack([z, -wx, -wy, -wz]),
+                jnp.stack([wx, z, wz, -wy]),
+                jnp.stack([wy, -wz, z, wx]),
+                jnp.stack([wz, wy, -wx, z]),
+            ]
+        )
+
+    mm = lambda A_, B_: jnp.sum(A_[:, :, None, :] * B_[None, :, :, :], axis=1)
+    mtm = lambda A_, B_: jnp.sum(A_[:, :, None, :] * B_[:, None, :, :], axis=0)
+
+    Qq = half_Rw(omega)
+    Qq_m = half_Rw(w_m)
+    Qw = 0.5 * _quat_G_bl(q)
+    Qw_m = 0.5 * _quat_G_bl(q_m)
+    G0 = _quat_G_bl(q)
+    G1 = _quat_G_bl(x1[3:7])
+
+    r4 = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
+    c4 = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 1)
+    eye4 = (r4 == c4).astype(dtype)[..., None]
+    r3 = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 0)
+    c3 = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
+    eye3 = (r3 == c3).astype(dtype)[..., None]
+
+    hh = 0.5 * h * h
+    D_qq = eye4 + h * Qq_m + hh * mm(Qq_m, Qq)
+    D_qw = h * Qw_m + hh * mm(Qq_m, Qw)
+    A_phi = mtm(G1, mm(D_qq, G0))  # (3, 3, B)
+    A_pw = mtm(G1, D_qw)           # (3, 3, B)
+
+    B = x.shape[-1]
+    z33 = jnp.zeros((3, 3, B), dtype=dtype)
+    e33 = jnp.broadcast_to(eye3, (3, 3, B))
+    he33 = jnp.broadcast_to(h * eye3, (3, 3, B))
+    Ae = jnp.concatenate(
+        [
+            jnp.concatenate([e33, z33, he33, z33], axis=1),
+            jnp.concatenate(
+                [z33, jnp.broadcast_to(A_phi, (3, 3, B)),
+                 z33, jnp.broadcast_to(A_pw, (3, 3, B))], axis=1
+            ),
+            jnp.concatenate([z33, z33, e33, z33], axis=1),
+            jnp.concatenate([z33, z33, z33, e33], axis=1),
+        ],
+        axis=0,
+    )
+
+    # force rows (state-independent, quat_srb_jacobian_fleet rows 7-12)
+    Bv = jnp.broadcast_to(
+        jnp.tile(eye3 * (1.0 / p.mass), (1, n_feet, 1)), (3, n_u, B)
+    )
+    blks = []
+    for i in range(n_feet):
+        r = p.foot_pos[i]
+        rx, ry, rz = r[0], r[1], r[2]
+        zz = jnp.zeros_like(rx)
+        skew_r = jnp.stack(
+            [
+                jnp.stack([zz, -rz, ry]),
+                jnp.stack([rz, zz, -rx]),
+                jnp.stack([-ry, rx, zz]),
+            ]
+        )
+        blks.append(mm(inv_inertia, skew_r))
+    Bw = jnp.broadcast_to(jnp.concatenate(blks, axis=1), (3, n_u, B))
+
+    B_phi = mtm(G1, hh * mm(Qw_m, Bw))  # (3, n_u, B)
+    Be = jnp.concatenate(
+        [hh * Bv, jnp.broadcast_to(B_phi, (3, n_u, B)), h * Bv, h * Bw],
+        axis=0,
+    )
+    return Ae, Be
+
+
+class SrbEdjBlocks(NamedTuple):
+    """Block decomposition of the quat-SRB error-state discrete Jacobians
+    (see `quat_srb_error_discrete_jac_fleet` for the derivation):
+
+        Ae = [[I, 0, h·I, 0],
+              [0, A_phi, 0, A_pw],
+              [0, 0, I, 0],
+              [0, 0, 0, I]]
+        Be = [[s_p·(1/m)[I…I]], [B_phi], [s_v·(1/m)[I…I]], [s_w·Bw]]
+
+    The solver's structured Riccati step (`fleet.riccati_step`) consumes
+    these directly — every product with Ae/Be is written against this
+    sparsity instead of dense 12-wide contractions."""
+
+    A_phi: jnp.ndarray   # (3, 3, B)
+    A_pw: jnp.ndarray    # (3, 3, B)
+    B_phi: jnp.ndarray   # (3, nu, B)
+    Bw: jnp.ndarray      # (3, nu, B)
+    inv_m: jnp.ndarray   # (B,) or (1,)
+    h: jnp.ndarray       # scalar or (B,)
+    s_p: jnp.ndarray     # ½h²
+    s_v: jnp.ndarray     # h
+    s_w: jnp.ndarray     # h
+
+
+def quat_srb_edj_blocks(x, x1, u, p: SrbParams, h) -> SrbEdjBlocks:
+    """Blocks of the error-state discrete Jacobians (midpoint). The dense
+    assembly `quat_srb_error_discrete_jac_fleet` is exactly the blocks
+    placed per the SrbEdjBlocks docstring (tested equal)."""
+    dtype = x.dtype
+    q = x[3:7]
+    omega = x[10:13]
+    n_feet = p.foot_pos.shape[0]
+
+    g_body = -GRAVITY * p.rot_body_to_world[2]
+    forces = u.reshape(n_feet, 3, -1)
+    moment = jnp.sum(jnp.cross(p.foot_pos, forces, axis=1), axis=0)
+    moment = moment + jnp.cross(p.com_offset, p.com_mass * g_body, axis=0)
+    inv_inertia = _inv3_bl(p.inertia)
+    omega_dot = jnp.sum(inv_inertia * moment[None, :, :], axis=1)
+    q_dot = 0.5 * jnp.sum(_quat_G_bl(q) * omega[None, :, :], axis=1)
+    q_m = q + 0.5 * h * q_dot
+    w_m = omega + 0.5 * h * omega_dot
+
+    def half_Rw(w):
+        wx, wy, wz = w[0], w[1], w[2]
+        z = jnp.zeros_like(wx)
+        return 0.5 * jnp.stack(
+            [
+                jnp.stack([z, -wx, -wy, -wz]),
+                jnp.stack([wx, z, wz, -wy]),
+                jnp.stack([wy, -wz, z, wx]),
+                jnp.stack([wz, wy, -wx, z]),
+            ]
+        )
+
+    mm = lambda A_, B_: jnp.sum(A_[:, :, None, :] * B_[None, :, :, :], axis=1)
+    mtm = lambda A_, B_: jnp.sum(A_[:, :, None, :] * B_[:, None, :, :], axis=0)
+
+    Qq = half_Rw(omega)
+    Qq_m = half_Rw(w_m)
+    Qw = 0.5 * _quat_G_bl(q)
+    Qw_m = 0.5 * _quat_G_bl(q_m)
+    G0 = _quat_G_bl(q)
+    G1 = _quat_G_bl(x1[3:7])
+
+    r4 = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
+    c4 = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 1)
+    eye4 = (r4 == c4).astype(dtype)[..., None]
+
+    hh = 0.5 * h * h
+    D_qq = eye4 + h * Qq_m + hh * mm(Qq_m, Qq)
+    D_qw = h * Qw_m + hh * mm(Qq_m, Qw)
+    A_phi = mtm(G1, mm(D_qq, G0))
+    A_pw = mtm(G1, D_qw)
+
+    blks = []
+    for i in range(n_feet):
+        r = p.foot_pos[i]
+        rx, ry, rz = r[0], r[1], r[2]
+        zz = jnp.zeros_like(rx)
+        skew_r = jnp.stack(
+            [
+                jnp.stack([zz, -rz, ry]),
+                jnp.stack([rz, zz, -rx]),
+                jnp.stack([-ry, rx, zz]),
+            ]
+        )
+        blks.append(mm(inv_inertia, skew_r))
+    B = x.shape[-1]
+    Bw = jnp.broadcast_to(jnp.concatenate(blks, axis=1), (3, 3 * n_feet, B))
+    B_phi = mtm(G1, hh * mm(Qw_m, Bw))
+
+    one = jnp.ones((), dtype)
+    return SrbEdjBlocks(
+        A_phi=A_phi, A_pw=A_pw, B_phi=jnp.broadcast_to(B_phi, Bw.shape),
+        Bw=Bw, inv_m=1.0 / p.mass, h=h * one,
+        s_p=hh * one, s_v=h * one, s_w=h * one,
+    )
+
+
 def euler_srb_jacobian(x: jnp.ndarray, u: jnp.ndarray, p: SrbParams) -> jnp.ndarray:
     """Reference-faithful approximate Jacobian (AltroUtils.cpp:352-359).
 

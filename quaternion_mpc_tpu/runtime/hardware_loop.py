@@ -76,6 +76,9 @@ class HWCarry(NamedTuple):
     mode: goals.ModeState
     standup: standup.StandupState
     gait: "object"  # gait.schedule.GaitState (walk mode, A-toggled)
+    prev_grf: "object" = None  # (4,3) body-frame stance GRFs of the last
+    # tick's published plan — the input term of the pool-mode lead
+    # prediction (see ctrl_core)
 
 
 def sensors_from_lowstate(st: unitree.LowState, dtype=jnp.float32) -> HWSensors:
@@ -205,18 +208,19 @@ def make_hw_control_tick(
         return kf_out, kf_out.x[0:3], kf_out.x[3:6], contact, foot_body
 
     def tick(carry: HWCarry, sensors: HWSensors, dt, joy: goals.JoySample,
-             wts, rho_fix, kp_joint, kd_joint):
+             wts, rho_fix, kp_joint, kd_joint, lead=0.0):
         kf_state, pos_w, vel_w, _contact, _foot_body = est_core(
             carry.kf, sensors, dt, rho_fix
         )
         return ctrl_core(
             carry, sensors, kf_state, pos_w, vel_w,
-            dt, joy, wts, rho_fix, kp_joint, kd_joint,
+            dt, joy, wts, rho_fix, kp_joint, kd_joint, lead,
         )
 
     def ctrl_core(carry: HWCarry, sensors: HWSensors, kf_state,
                   pos_w, vel_w, dt,
-                  joy: goals.JoySample, wts, rho_fix, kp_joint, kd_joint):
+                  joy: goals.JoySample, wts, rho_fix, kp_joint, kd_joint,
+                  lead=0.0):
         """MPC-tier work. Takes only the torso pos/vel ESTIMATE from the
         feedback tier; contact detection and foot kinematics are recomputed
         from the freshest sensors HERE — in three-tier mode the gait FSM's
@@ -256,13 +260,47 @@ def make_hw_control_tick(
             axis=-1,
         ).reshape(12, 5)
 
+        # ---- lead STATE PREDICTION (pipelined-pool dispatch): the command
+        # computed here applies ~lead seconds later; solving from the
+        # measured state makes every GRF a stale feedback action (measured:
+        # trot commands at ~55 ms staleness march in place while standing
+        # balance tolerates it). Predict the torso state to the APPLICATION
+        # time with the SRB model under the PREVIOUS tick's realized stance
+        # forces — the standard RTI delay-compensation move — and hand the
+        # MPC the predicted state. Gait/contact/anchor logic stays on the
+        # measured state (phase lead is applied separately below). lead==0
+        # reproduces the uncompensated feedback exactly.
+        lead_p = jnp.asarray(lead, dtype)
+        lead_on = lead_p > 0.0
+        prev_f = (
+            carry.prev_grf if carry.prev_grf is not None
+            else jnp.zeros((4, 3), dtype)
+        )
+        acc_w = (rot @ jnp.sum(prev_f, axis=0)) / wts.mass + jnp.asarray(
+            [0.0, 0.0, -9.81], dtype
+        )
+        pos_pred = pos_w + vel_w * lead_p + 0.5 * acc_w * lead_p * lead_p
+        vel_pred = vel_w + acc_w * lead_p
+        quat_pred = lie.quat_normalize(
+            quat + 0.5 * lead_p * (lie.quat_G(quat) @ sensors.gyro)
+        )
+        rot_pred = lie.quat_to_rotmat(quat_pred)
+        # stance feet are world-fixed: re-express the SAME world anchors in
+        # the predicted body frame
+        feet_world_now = pos_w + foot_body @ rot.T
+        foot_body_pred = (feet_world_now - pos_pred) @ rot_pred
+        pos_mpc = jnp.where(lead_on, pos_pred, pos_w)
+        vel_mpc = jnp.where(lead_on, vel_pred, vel_w)
+        quat_mpc_ = jnp.where(lead_on, quat_pred, quat)
+        foot_body_mpc = jnp.where(lead_on, foot_body_pred, foot_body)
+
         # ---- MPC path
         fbk = RobotFeedback(
-            torso_pos_world=pos_w,
-            torso_quat=quat,
-            torso_lin_vel_world=vel_w,
+            torso_pos_world=pos_mpc,
+            torso_quat=quat_mpc_,
+            torso_lin_vel_world=vel_mpc,
             torso_ang_vel_body=sensors.gyro,
-            foot_pos_body=foot_body,
+            foot_pos_body=foot_body_mpc,
             foot_contact=contact,
             joint_pos=sensors.q,
             joint_vel=sensors.dq,
@@ -321,12 +359,42 @@ def make_hw_control_tick(
         )
         cmd = cmd._replace(pos_body_d=cmd.pos_body_d.at[2].set(height_err))
         out, _sol = grf_update(fbk, cmd, wts)
+
+        # ---- publish-time LEAD compensation (pipelined-pool dispatch):
+        # with the puller pool, this command applies ~one tunnel RTT after
+        # the sensors it was computed from. GRFs vary slowly across a
+        # 150 ms stance and tolerate that; the SWING targets do not — a
+        # 30 ms-stale quintic target at trot frequency drags every step
+        # ~13% of its swing behind the gait clock and the trot marches in
+        # place (measured). So the TIME-CRITICAL outputs — swing PD
+        # targets and the stance/swing joint gating — are evaluated at the
+        # phase the command will be APPLIED (phase + lead·freq), while the
+        # force plan stays on the solve-time schedule. lead is traced; 0
+        # (the synchronous modes) selects the uncompensated outputs
+        # exactly.
+        lead_t = jnp.asarray(lead, dtype)
+        gait_pub_adv = sched_mod.gait_update(
+            gait, pattern, lead_t, jnp.asarray(gait_freq, dtype),
+            feet_world_est, target_world, contact > 0.5,
+        )
+        gait_pub = jax.tree.map(
+            lambda a, b: jnp.where(gait_active, a, b), gait_pub_adv, gait_hold
+        )
+        use_lead = lead_t > 0.0
+        pub_contacts = jnp.where(
+            use_lead & gait_active,
+            sched_mod.contact_flags(gait_pub, pattern).astype(dtype),
+            plan_contacts,
+        )
+        pub_target_pos = jnp.where(use_lead, gait_pub.target_pos, gait.target_pos)
+        pub_target_vel = jnp.where(use_lead, gait_pub.target_vel, gait.target_vel)
+
         out = out._replace(
             grf_body=out.grf_body * plan_contacts[:, None],
-            foot_pos_target_world=gait.target_pos,
-            foot_vel_target_world=gait.target_vel,
+            foot_pos_target_world=pub_target_pos,
+            foot_vel_target_world=pub_target_vel,
         )
-        targets = torque_mod.tau_ctrl_update(fbk, out, rho_fix, plan_contacts)
+        targets = torque_mod.tau_ctrl_update(fbk, out, rho_fix, pub_contacts)
 
         # standing (movement_mode==0) convention, BaseInterface.cpp:402-405:
         # τ_ff = −Jᵀf AND a full joint PD anchored at the MEASURED q/dq
@@ -338,7 +406,7 @@ def make_hw_control_tick(
         # convention — an anchor PD would fight the body motion).
         kp = jnp.broadcast_to(kp_joint, (4, 3))
         kd = jnp.broadcast_to(kd_joint, (4, 3))
-        kp = jnp.where(gait_active, kp * (1.0 - plan_contacts)[:, None], kp)
+        kp = jnp.where(gait_active, kp * (1.0 - pub_contacts)[:, None], kp)
         mpc_cmd = jnp.stack(
             [targets.q, targets.dq, targets.tau, kp, kd], axis=-1
         ).reshape(12, 5)
@@ -375,7 +443,8 @@ def make_hw_control_tick(
             "in_prime": in_prime,
         }
         return (
-            HWCarry(goal=goal, kf=kf_state, mode=mode, standup=st, gait=gait),
+            HWCarry(goal=goal, kf=kf_state, mode=mode, standup=st, gait=gait,
+                    prev_grf=out.grf_body),
             cmd_mat,
             info,
         )
@@ -508,6 +577,7 @@ def run_hardware_loopback(
     joy_provider=None,
     state_sink=None,
     async_mpc: bool = False,
+    async_pullers: int = 0,
 ) -> dict:
     """Run the full Main.cpp-shaped stack against the simulated peer.
 
@@ -550,6 +620,19 @@ def run_hardware_loopback(
     of command latency (the sync operator-flow test passes under exactly
     that injected latency). auto_rate then keys on the measured PIPELINED
     per-tick time.
+
+    ``async_pullers > 0``: the PIPELINED-POOL dispatch mode, the structural
+    answer to this backend's result-pull round trip (measured: a pull of
+    even a READY device value costs one full tunnel RTT ≈ 26-40 ms, so a
+    single thread is capped at 1/RTT ≈ 25-38 Hz regardless of pipeline
+    depth — but CONCURRENT pulls scale: 4 threads measured 131 Hz).
+    The MPC thread only DISPATCHES (measured ~0.9 ms enqueue) and hands the
+    unpulled device command to a pool of P puller threads; each puller pays
+    the RTT off the critical path and publishes to the command bus under a
+    sequence guard (publish-if-newer — pulls may complete out of order).
+    Command staleness is ~one RTT (recorded in the summary); the command
+    RATE reaches min(P/RTT, enqueue rate). Implies the one-tick-delay
+    semantics of ``async_mpc`` (which this supersedes when set).
 
     ``auto_rate``: if the measured (warm) control-tick wall time cannot fit
     the requested MPC period — e.g. a ~25-30 ms dispatch floor on a tunneled
@@ -678,6 +761,7 @@ def run_hardware_loopback(
         kf=kf_mod.init_state(rot0, foot_body0, dtype=dtype),
         mode=goals.init_mode_state(target_height, dtype),
         standup=standup.init_standup(sensors0.q),
+        prev_grf=jnp.zeros((4, 3), dtype),
         gait=sched_mod.init_gait_state(feet_world0, sched_mod.trot_with_stand_pattern()),
     )
     joy_neutral = goals.neutral_joy_sample(dtype)
@@ -686,6 +770,11 @@ def run_hardware_loopback(
     fused = make_hw_control_tick(horizon, opts)
     three_tier = est_rate > 0.0
     dt0 = jnp.asarray(dt_ctrl, dtype)
+    # lead is a TRACED argument of the tick (publish-time compensation,
+    # see ctrl_core): pass it at EVERY call site so warmup and main loop
+    # share one compiled program (a defaulted python float would bake a
+    # second, lead=0-constant executable and double the tunnel compile).
+    lead0 = jnp.zeros((), dtype)
     if three_tier:
         est_jit = jax.jit(fused.est_core)
         ctrl_jit = jax.jit(fused.ctrl_core)
@@ -698,6 +787,7 @@ def run_hardware_loopback(
         carry_w, cmd_mat, info = ctrl_jit(
             carry, sensors0, kf_w, pos_w0, vel_w0,
             dt0, joy_neutral, wts, ap.rho_fix, ap.kp_joint, ap.kd_joint,
+            lead0,
         )
         jax.block_until_ready(cmd_mat)
         t0 = time.perf_counter()
@@ -705,6 +795,7 @@ def run_hardware_loopback(
             _, cmd_w, _ = ctrl_jit(
                 carry, sensors0, kf_w, pos_w0, vel_w0,
                 dt0, joy_neutral, wts, ap.rho_fix, ap.kp_joint, ap.kd_joint,
+                lead0,
             )
             np.asarray(cmd_w)
         tick_wall = (time.perf_counter() - t0) / 3.0
@@ -719,14 +810,14 @@ def run_hardware_loopback(
         # tick wall time (includes the backend dispatch floor)
         carry_w, cmd_mat, info = tick_fn(
             carry, sensors0, dt0, joy_neutral, wts, ap.rho_fix,
-            ap.kp_joint, ap.kd_joint,
+            ap.kp_joint, ap.kd_joint, lead0,
         )
         jax.block_until_ready(cmd_mat)
         t0 = time.perf_counter()
         for _ in range(3):
             _, cmd_w, _ = tick_fn(
                 carry, sensors0, dt0, joy_neutral, wts, ap.rho_fix,
-                ap.kp_joint, ap.kd_joint,
+                ap.kp_joint, ap.kd_joint, lead0,
             )
             np.asarray(cmd_w)  # include the device->host pull the loop pays
         tick_wall = (time.perf_counter() - t0) / 3.0
@@ -748,7 +839,7 @@ def run_hardware_loopback(
                 c_w, cmd_last, _ = ctrl_jit(
                     c_w, sensors0, kf_w, pos_w0, vel_w0,
                     dt0, joy_neutral, wts, ap.rho_fix, ap.kp_joint,
-                    ap.kd_joint,
+                    ap.kd_joint, lead0,
                 )
             np.asarray(cmd_last)
         else:
@@ -757,10 +848,42 @@ def run_hardware_loopback(
             for _ in range(4):
                 c_w, cmd_last, _ = tick_fn(
                     c_w, sensors0, dt0, joy_neutral, wts, ap.rho_fix,
-                    ap.kp_joint, ap.kd_joint,
+                    ap.kp_joint, ap.kd_joint, lead0,
                 )
             np.asarray(cmd_last)
         tick_wall = (time.perf_counter() - t0) / 4.0
+
+    if async_pullers > 0:
+        # pool mode rate bound: the MPC thread pays only the ENQUEUE cost
+        # per tick; the pool sustains async_pullers concurrent pulls of one
+        # RTT each. Measure the enqueue cost on the live tick program.
+        c_w2 = carry
+        t0 = time.perf_counter()
+        for _ in range(8):
+            if three_tier:
+                c_w2, cmd_enq, _ = ctrl_jit(
+                    c_w2, sensors0, kf_w, pos_w0, vel_w0,
+                    dt0, joy_neutral, wts, ap.rho_fix, ap.kp_joint,
+                    ap.kd_joint, lead0,
+                )
+            else:
+                c_w2, cmd_enq, _ = tick_fn(
+                    c_w2, sensors0, dt0, joy_neutral, wts, ap.rho_fix,
+                    ap.kp_joint, ap.kd_joint, lead0,
+                )
+        enqueue_wall = (time.perf_counter() - t0) / 8.0
+        np.asarray(cmd_enq)  # drain the chain
+        rtt = max(tick_wall_sync, 1e-4)
+        pool_tick = max(enqueue_wall, rtt / async_pullers)
+        tick_wall = pool_tick
+    else:
+        enqueue_wall = 0.0
+
+    # publish-time lead for the compensated tick outputs: in pool mode a
+    # command applies ~one RTT (the sync tick wall) after its sensors
+    lead_run = jnp.asarray(
+        tick_wall_sync if async_pullers > 0 else 0.0, dtype
+    )
 
     mpc_rate_req = mpc_rate
     if auto_rate and tick_wall > 0.8 * dt_ctrl:
@@ -828,6 +951,66 @@ def run_hardware_loopback(
     joy_walk = joy_neutral._replace(velx=jnp.asarray(velx, dtype))
     loop = native.RateLoop(dt_ctrl, realtime_priority)
     pending = None  # async_mpc one-slot pipeline (cmd, info) of tick k-1
+
+    # pipelined-pool mode: puller threads pay the result-pull RTT off the
+    # MPC thread's critical path (see docstring). Sequence-guarded publish;
+    # per-tick results recorded for post-hoc bookkeeping.
+    use_pool = async_pullers > 0
+    pub_state = {"last_k": -1, "published": 0, "stale_dropped": 0,
+                 "staleness": []}
+    pub_lock = threading.Lock()
+    res_by_k = {}
+    true_by_k = {}
+    work_q = None
+    pool = []
+    if use_pool:
+        import queue as _queue
+
+        work_q = _queue.Queue(maxsize=4 * async_pullers)
+        cmd_shape = tuple(np.asarray(cmd_mat).shape)
+        cmd_size = int(np.prod(cmd_shape))
+
+        # ONE device->host transfer per tick: every pull pays a full tunnel
+        # RTT on this backend, so cmd + est_pos + cost are packed into a
+        # single device vector at dispatch time (a ~0.4 ms extra enqueue)
+        # instead of three sequential RTT-priced pulls in the puller.
+        @jax.jit
+        def _pack(c, p, q):
+            return jnp.concatenate(
+                [c.ravel(), p, jnp.reshape(q, (1,))]
+            ).astype(jnp.float32)
+
+        def _puller():
+            while True:
+                item = work_q.get()
+                if item is None:
+                    return
+                k_i, packed_i, info_i, sensors_i, t_disp = item
+                buf = np.asarray(packed_i)  # the one RTT per tick
+                cmd_np = buf[:cmd_size].reshape(cmd_shape)
+                with pub_lock:
+                    if k_i > pub_state["last_k"]:
+                        cmd_bus.write(cmd_np.tobytes())
+                        pub_state["last_k"] = k_i
+                        pub_state["published"] += 1
+                        pub_state["staleness"].append(
+                            time.perf_counter() - t_disp
+                        )
+                    else:
+                        pub_state["stale_dropped"] += 1
+                with pub_lock:
+                    res_by_k[k_i] = (
+                        buf[cmd_size : cmd_size + 3], float(buf[-1])
+                    )
+                if state_sink is not None:
+                    state_sink(k_i, info_i, sensors_i)
+
+        pool = [
+            threading.Thread(target=_puller, daemon=True)
+            for _ in range(async_pullers)
+        ]
+        for t in pool:
+            t.start()
     # real-time hygiene: a CPython gen-2 GC pause (10+ ms when a long
     # process has a large live heap, e.g. late in a test session) lands
     # inside the 6.7 ms estimator period and trips the whole pipeline —
@@ -874,13 +1057,36 @@ def run_hardware_loopback(
             carry, cmd_mat, info = ctrl_jit(
                 carry, sensors, carry.kf, pos_e, vel_e,
                 jnp.asarray(dt_sim, dtype), joy, wts,
-                ap.rho_fix, ap.kp_joint, ap.kd_joint,
+                ap.rho_fix, ap.kp_joint, ap.kd_joint, lead_run,
             )
         else:
             carry, cmd_mat, info = tick_fn(
                 carry, sensors, jnp.asarray(dt_sim, dtype), joy, wts,
-                ap.rho_fix, ap.kp_joint, ap.kd_joint,
+                ap.rho_fix, ap.kp_joint, ap.kd_joint, lead_run,
             )
+        if use_pool:
+            # pipelined-pool mode: enqueue only — the pull RTT is paid by
+            # a puller thread off this loop's critical path. Bookkeeping
+            # (cost/est pairing) is assembled post-hoc from res_by_k.
+            true_pos = np.asarray(peer.state.torso.pos)
+            true_by_k[k] = true_pos
+            last_true = true_pos
+            packed = _pack(cmd_mat, info["est_pos"], info["mpc_cost"])
+            try:
+                work_q.put_nowait(
+                    (k, packed, info, sensors, time.perf_counter())
+                )
+            except Exception:
+                pub_state["stale_dropped"] += 1  # pool saturated: skip tick
+            if n_prime <= k < t_walk_on:
+                if mpc_pos0 is None:
+                    mpc_pos0 = true_pos
+                stand_last = true_pos
+            if n_walk and k == t_walk_on:
+                walk_start = true_pos
+            if n_walk and k == t_walk_off:
+                walk_end = true_pos
+            continue
         if async_mpc:
             # pipelined one-tick-delay mode: dispatch tick k WITHOUT
             # pulling; publish tick k-1's command (now surely finished)
@@ -926,6 +1132,23 @@ def run_hardware_loopback(
     if gc_was_enabled:
         gc.enable()
 
+    if use_pool:
+        for _ in pool:
+            work_q.put(None)
+        for t in pool:
+            t.join(timeout=15.0)
+        # post-hoc bookkeeping: pair pulled estimates with the true
+        # positions the main thread recorded at dispatch time
+        for k_i in sorted(res_by_k):
+            if n_prime <= k_i < t_walk_on and k_i in true_by_k:
+                est_p, cost_i = res_by_k[k_i]
+                costs.append(cost_i)
+                est_err.append(
+                    float(np.linalg.norm(est_p - true_by_k[k_i]))
+                )
+        if res_by_k:
+            last_est = res_by_k[max(res_by_k)][0]
+
     stop_evt.set()
     servo.join(timeout=2.0)
     if three_tier:
@@ -954,6 +1177,14 @@ def run_hardware_loopback(
         "tick_wall_ms": tick_wall * 1e3,
         "tick_wall_sync_ms": tick_wall_sync * 1e3,
         "async_mpc": async_mpc,
+        "async_pullers": async_pullers,
+        "cmds_published": pub_state["published"],
+        "cmds_stale_dropped": pub_state["stale_dropped"],
+        "publish_staleness_ms_p50": (
+            float(np.median(pub_state["staleness"]) * 1e3)
+            if pub_state["staleness"] else 0.0
+        ),
+        "enqueue_wall_ms": enqueue_wall * 1e3,
         "prime_ticks": n_prime,
         "mpc_ticks": n_ticks,
         "mpc_overruns": int(mpc_overruns),

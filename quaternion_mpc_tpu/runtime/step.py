@@ -654,6 +654,7 @@ class EstWalkingCarry(NamedTuple):
     alive: jnp.ndarray
     tick: "object" = None        # int32 scalar — mocap scheduling
     mocap_count: "object" = None  # int32 scalar — mocap warm-up drop
+    key: "object" = None         # per-scenario PRNG key (fleet sensor noise)
 
 
 def make_estimated_walking_step(
@@ -926,6 +927,285 @@ def init_estimated_walking_scenario(
         mocap_count=jnp.zeros((), jnp.int32),
     )
     return carry, sp
+
+
+class EstFleetMetrics(NamedTuple):
+    mpc_cost: jnp.ndarray
+    vel_err: jnp.ndarray
+    height_err: jnp.ndarray
+    est_err: jnp.ndarray      # |estimated pos − true pos|
+    alive: jnp.ndarray
+
+
+def make_fleet_estimated_step(
+    horizon: int = 10,
+    opts: SolverOptions = SolverOptions(al_iterations=2, ilqr_iterations=4),
+    gait_freq: float = 2.2,
+    pattern=None,
+    kf_type: int = 1,
+    per_knot_contacts: bool = True,
+    mocap_every: int = 5,
+    mocap_warmup: int = 10,
+    noise_acc: float = 0.0,
+    noise_gyro: float = 0.0,
+    noise_foot_vel: float = 0.0,
+    noise_foot_pos: float = 0.0,
+):
+    """Fleet-native ESTIMATED trot: the full GazeboInterface-shaped loop —
+    derived-only sensing → KF/EKF → MPC → plant (``GazeboInterface.cpp:58-82``,
+    ``BaseInterface.cpp:194-342``) — with the MPC solve routed through the
+    batch-last fleet solver and the estimator state living in the
+    batch-leading carry. This closes the SURVEY §2.3 data-parallel
+    obligation for the pipeline that matters: the scenario fleet is the DP
+    axis for full estimator-in-the-loop robots, not just the ground-truth
+    SRB tier.
+
+    Carry: `EstWalkingCarry` (+ a per-scenario PRNG key in ``key``) — tile
+    `init_estimated_walking_scenario` outputs batch-leading and attach
+    ``key=jax.random.split(key0, B)``.
+
+    Per-scenario SENSOR NOISE (zero-mean Gaussian, applied to the
+    ESTIMATOR's inputs only — the controller consumes the estimate, so
+    noise reaches it the honest way, through the filter): ``noise_acc``
+    (m/s², IMU specific force), ``noise_gyro`` (rad/s), ``noise_foot_vel``
+    (m/s, leg-odometry velocity), ``noise_foot_pos`` (m, FK position).
+    Each scenario draws from its own key stream, so a heterogeneous fleet
+    sees independent realizations. With all stds 0 the step is exactly the
+    vmapped single-robot `make_estimated_walking_step` modulo solver fp
+    ordering (parity-tested on the virtual mesh).
+
+    kf_type: 0 ground truth | 1 BasicKF | 2 EKF + simulated mocap fusion
+    at the mocap callback rate (per-scenario tick counters in the carry).
+    """
+    from quaternion_mpc_tpu.est import ekf as ekf_mod
+    from quaternion_mpc_tpu.est import kf as kf_mod
+    from quaternion_mpc_tpu.gait import raibert as raibert_mod
+    from quaternion_mpc_tpu.gait import schedule as sched_mod
+    from quaternion_mpc_tpu.kin import terrain as kterr_mod
+    from quaternion_mpc_tpu.sim import terrain as terrain_mod
+
+    if pattern is None:
+        pattern = sched_mod.trot_pattern()
+    if kf_type not in (0, 1, 2):
+        raise ValueError(f"kf_type must be 0, 1 or 2, got {kf_type}")
+    fleet_grf = _make_fleet_grf("quat", horizon, opts, zero_initial_omega=False)
+    any_noise = any(
+        s > 0.0 for s in (noise_acc, noise_gyro, noise_foot_vel, noise_foot_pos)
+    )
+
+    def pre(carry: EstWalkingCarry, sp: ScenarioParams, joy: goals.JoyCommand):
+        ps = carry.plant
+        dtype = ps.pos.dtype
+        rot = lie.quat_to_rotmat(ps.quat)
+        foot_pos_body = (carry.feet_world - ps.pos) @ rot
+        rho_fix = _sp_rho_fix(sp, dtype)
+        if kf_type == 0:
+            est_pos, est_vel = ps.pos, ps.vel
+        else:
+            est_pos, est_vel = carry.est.x[0:3], carry.est.x[3:6]
+        contacts_now = sched_mod.contact_flags(carry.gait, pattern).astype(dtype)
+        foot_vel_world_now = jnp.where(
+            contacts_now[:, None] > 0.5, 0.0, carry.gait.target_vel
+        )
+        joint_pos, joint_vel = _pinned_feet_joint_state(
+            ps, foot_pos_body, foot_vel_world_now, rho_fix
+        )
+        fbk = RobotFeedback(
+            torso_pos_world=est_pos,
+            torso_quat=ps.quat,
+            torso_lin_vel_world=est_vel,
+            torso_ang_vel_body=ps.omega,
+            foot_pos_body=foot_pos_body,
+            foot_contact=contacts_now,
+            joint_pos=joint_pos.reshape(-1),
+            joint_vel=joint_vel.reshape(-1),
+        )
+        vel_d_rel = jnp.stack([joy.velx, joy.vely, jnp.zeros_like(joy.velx)])
+        default_rel = _sp_default_rel(sp, dtype)
+        # Raibert on the ESTIMATED velocity, true foot anchors
+        target_world, _ = raibert_mod.foothold_targets(
+            ps.pos, ps.quat, est_vel, vel_d_rel, default_rel, gait_freq
+        )
+        tp = sp.terrain if sp.terrain is not None else terrain_mod.make_terrain(
+            "flat", dtype=dtype
+        )
+        target_world = terrain_mod.snap_to_ground(tp, target_world)
+        gait = sched_mod.gait_update(
+            carry.gait, pattern, sp.wts.h, jnp.asarray(gait_freq, dtype),
+            carry.feet_world, target_world, contacts_now > 0.5,
+        )
+        plan_contacts = sched_mod.contact_flags(gait, pattern).astype(dtype)
+        mpc_contacts = plan_contacts
+        if per_knot_contacts:
+            mpc_contacts = sched_mod.predict_contact_schedule(
+                gait, pattern, jnp.asarray(gait_freq, dtype), sp.wts.h,
+                horizon + 1,
+            ).astype(dtype)
+        goal, cmd = goals.goal_update(carry.goal, fbk, joy, mpc_contacts, dt=sp.wts.h)
+        n_stance = jnp.maximum(jnp.sum(plan_contacts), 1.0)
+        ground_z = jnp.sum(carry.feet_world[:, 2] * plan_contacts) / n_stance
+        cmd = cmd._replace(
+            pos_body_d=cmd.pos_body_d.at[2].set(
+                ground_z + sp.target_height - est_pos[2]
+            )
+        )
+        terr_est, pitch_d = kterr_mod.terrain_update(
+            carry.terrain_est, carry.feet_world - ps.pos,
+            movement_mode=1, torso_height=est_pos[2] - ground_z,
+            contact_weights=plan_contacts,
+        )
+        eul_d = lie.quat_to_euler(cmd.quat_d)
+        cmd = cmd._replace(
+            quat_d=lie.euler_to_quat(
+                jnp.stack([eul_d[0], eul_d[1] + pitch_d, eul_d[2]])
+            )
+        )
+        return (fbk, cmd, goal, gait, plan_contacts, foot_pos_body, terr_est,
+                ground_z)
+
+    def post(carry, sp, joy, goal, gait, plan_contacts, foot_pos_body,
+             terr_est, ground_z, grf_body, cost, ext, mocap_on):
+        ps = carry.plant
+        dtype = ps.pos.dtype
+        f_body = grf_body * plan_contacts[:, None]
+        pp = sp.plant_params._replace(foot_pos_body=foot_pos_body)
+        new_plant = plant.step(ps, f_body, pp, sp.wts.h, ext)
+        feet_world = jnp.where(
+            plan_contacts[:, None] > 0.5, carry.feet_world, gait.target_pos
+        )
+        tp = sp.terrain if sp.terrain is not None else terrain_mod.make_terrain(
+            "flat", dtype=dtype
+        )
+
+        est_state = carry.est
+        tick = carry.tick
+        mocap_count = carry.mocap_count
+        key_new = carry.key
+        if kf_type > 0:
+            rot_new = lie.quat_to_rotmat(new_plant.quat)
+            foot_body_new = (feet_world - new_plant.pos) @ rot_new
+            acc_body = jnp.sum(f_body, axis=0) / sp.plant_params.mass
+            v_feet = jnp.where(
+                plan_contacts[:, None] > 0.5, 0.0, gait.target_vel
+            )
+            foot_vel_rel = (v_feet - new_plant.vel) @ rot_new - jnp.cross(
+                jnp.broadcast_to(new_plant.omega, foot_body_new.shape),
+                foot_body_new,
+            )
+            omega_meas = new_plant.omega
+            foot_body_meas = foot_body_new
+            if any_noise:
+                key_new, ka, kg, kv, kp = jax.random.split(carry.key, 5)
+                acc_body = acc_body + noise_acc * jax.random.normal(
+                    ka, acc_body.shape, dtype
+                )
+                omega_meas = omega_meas + noise_gyro * jax.random.normal(
+                    kg, omega_meas.shape, dtype
+                )
+                foot_vel_rel = foot_vel_rel + noise_foot_vel * jax.random.normal(
+                    kv, foot_vel_rel.shape, dtype
+                )
+                foot_body_meas = foot_body_meas + noise_foot_pos * (
+                    jax.random.normal(kp, foot_body_new.shape, dtype)
+                )
+            # terrain-aware height reference under the ESTIMATED foot xy
+            feet_xy_est = (
+                carry.est.x[0:3] + foot_body_meas @ rot_new.T
+            )[:, :2]
+            href = terrain_mod.height(tp, feet_xy_est)
+            _r = jnp.asarray(0.03, dtype)
+            _offs = jnp.stack([
+                jnp.zeros((2,), dtype),
+                jnp.asarray([1.0, 0.0], dtype) * _r,
+                jnp.asarray([-1.0, 0.0], dtype) * _r,
+                jnp.asarray([0.0, 1.0], dtype) * _r,
+                jnp.asarray([0.0, -1.0], dtype) * _r,
+            ])
+            _hs = terrain_mod.height(
+                tp, (feet_xy_est[:, None, :] + _offs[None]).reshape(-1, 2)
+            ).reshape(foot_body_new.shape[0], 5)
+            _spread = jnp.max(_hs, axis=1) - jnp.min(_hs, axis=1)
+            h_noise_scale = 1.0 + (_spread / 0.005) ** 2
+            if kf_type == 1:
+                kf_in = kf_mod.KFInputs(
+                    torso_rot_mat=rot_new,
+                    torso_lin_acc_body=acc_body,
+                    torso_ang_vel_body=omega_meas,
+                    foot_pos_body=foot_body_meas,
+                    foot_lin_vel_rel=foot_vel_rel,
+                    contacts=plan_contacts,
+                )
+                est_state, _, _ = kf_mod.update(
+                    carry.est, kf_in, sp.wts.h, foot_height_ref=href,
+                    foot_height_noise_scale=h_noise_scale,
+                )
+            else:
+                ekf_in = ekf_mod.EkfInputs(
+                    torso_lin_acc_body=acc_body,
+                    torso_ang_vel_body=omega_meas,
+                    foot_pos_body=foot_body_meas,
+                    foot_lin_vel_rel=foot_vel_rel,
+                    contacts=plan_contacts,
+                )
+                est_state, _, _ = ekf_mod.update(
+                    carry.est, ekf_in, sp.wts.h, foot_height_ref=href
+                )
+                sample_due = (tick % mocap_every) == 0
+                if mocap_on is not None:
+                    sample_due = sample_due & jnp.asarray(mocap_on)
+                mocap_count = mocap_count + sample_due.astype(jnp.int32)
+                fuse = sample_due & (mocap_count > mocap_warmup)
+                fused = ekf_mod.mocap_update(
+                    est_state, new_plant.pos,
+                    lie.quat_to_euler(new_plant.quat)[2],
+                )
+                est_state = jax.tree.map(
+                    lambda a, b: jnp.where(fuse, a, b), fused, est_state
+                )
+
+        ground_under = terrain_mod.height(tp, new_plant.pos[:2])
+        ok = safety.is_safe(new_plant.quat, jnp.zeros((12,), dtype))
+        ok = ok & safety.finite_state(new_plant) & (
+            new_plant.pos[2] - ground_under > 0.05
+        )
+        alive = carry.alive & ok
+        kept_plant = jax.tree.map(
+            lambda new, old: jnp.where(alive, new, old), new_plant, ps
+        )
+        yaw = lie.quat_to_euler(kept_plant.quat)[2]
+        vel_rel = lie.rotz(yaw).T @ kept_plant.vel
+        if kf_type > 0:
+            est_err = jnp.linalg.norm(est_state.x[0:3] - kept_plant.pos)
+        else:
+            est_err = jnp.zeros((), dtype)
+        metrics = EstFleetMetrics(
+            mpc_cost=cost,
+            vel_err=jnp.abs(vel_rel[0] - joy.velx),
+            height_err=jnp.abs(kept_plant.pos[2] - ground_z - sp.target_height),
+            est_err=est_err,
+            alive=alive.astype(dtype),
+        )
+        return (
+            EstWalkingCarry(
+                plant=kept_plant, goal=goal, gait=gait, feet_world=feet_world,
+                terrain_est=terr_est, est=est_state, alive=alive,
+                tick=tick + 1, mocap_count=mocap_count, key=key_new,
+            ),
+            metrics,
+        )
+
+    def fleet_step(carry, sp, joy, mocap_on=None, ext_wrench=None):
+        (fbk, cmd, goal, gait, plan_contacts, foot_pos_body, terr_est,
+         ground_z) = jax.vmap(pre)(carry, sp, joy)
+        _, grf_body, cost = fleet_grf(fbk, cmd, sp.wts)
+        return jax.vmap(
+            post, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None)
+        )(
+            carry, sp, joy, goal, gait, plan_contacts, foot_pos_body, terr_est,
+            ground_z, grf_body, cost, ext_wrench, mocap_on
+        )
+
+    return fleet_step
 
 
 class ActuatedCarry(NamedTuple):

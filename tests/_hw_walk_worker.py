@@ -25,10 +25,22 @@ from quaternion_mpc_tpu.runtime import hardware_loop as hl  # noqa: E402
 
 
 def main():
-    s = hl.run_hardware_loopback(
-        duration_s=0.7, prime_s=0.6, walk_s=1.2, velx=0.3,
-        est_rate=150.0, low_rate=150.0,
-    )
+    # QMPC_WALK_MODE=pool100: the pipelined-pool config — 100 Hz MPC with
+    # 4 puller threads and lead compensation (the dispatch-decomposition
+    # deliverable: the control stack itself sustains >=100 Hz; on the
+    # tunneled TPU the pull RTT is the environment ceiling, documented in
+    # hardware_loop.run_hardware_loopback).
+    if os.environ.get("QMPC_WALK_MODE") == "pool100":
+        s = hl.run_hardware_loopback(
+            duration_s=0.7, prime_s=0.6, walk_s=1.2, velx=0.3,
+            mpc_rate=100.0, est_rate=150.0, low_rate=150.0,
+            async_pullers=4,
+        )
+    else:
+        s = hl.run_hardware_loopback(
+            duration_s=0.7, prime_s=0.6, walk_s=1.2, velx=0.3,
+            est_rate=150.0, low_rate=150.0,
+        )
     out = {k: v for k, v in s.items() if isinstance(v, (int, float, bool))}
     print(json.dumps(out))
 

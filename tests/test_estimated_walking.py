@@ -39,6 +39,49 @@ def test_kf_type_routing_walks():
     assert abs(xs[2] - xs[0]) < 0.1
 
 
+def test_fleet_estimated_noisy_trot():
+    """The FLEET estimated tier (VERDICT r4 #2): 8 scenarios with the
+    BasicKF in the batch-leading carry, per-scenario Gaussian sensor noise
+    on every estimator input, randomized initial velocities — 200 ticks
+    under lax.scan. Every scenario must survive, walk forward, and hold a
+    bounded position-estimate error despite the noise (the KF actually
+    filters; the controller never sees ground truth)."""
+    dtype = jnp.float32
+    wts = quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=dtype)
+    carry1, sp1 = rt.init_estimated_walking_scenario(wts, dtype=dtype, kf_type=1)
+    joy1 = rt.neutral_joy(dtype)._replace(velx=jnp.asarray(0.3, dtype))
+    B = 8
+    tile = lambda t: jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), t)
+    carry, sp, joy = tile(carry1), tile(sp1), tile(joy1)
+    vel = jnp.asarray(
+        np.random.default_rng(5).standard_normal((B, 3)) * 0.05, dtype
+    )
+    carry = carry._replace(
+        plant=carry.plant._replace(vel=vel),
+        key=jax.random.split(jax.random.PRNGKey(7), B),
+    )
+    step = rt.make_fleet_estimated_step(
+        horizon=10, opts=OPTS, kf_type=1,
+        noise_acc=0.3, noise_gyro=0.03, noise_foot_vel=0.03,
+        noise_foot_pos=0.004,
+    )
+
+    @jax.jit
+    def roll(c):
+        def body(c_, _):
+            c2, m = step(c_, sp, joy)
+            return c2, m
+        return jax.lax.scan(body, c, None, length=200)
+
+    carry, ms = roll(carry)
+    assert bool(jnp.all(carry.alive)), np.array(carry.plant.pos)
+    # walked forward (2.0 s at 0.3 m/s commanded)
+    assert float(jnp.min(carry.plant.pos[:, 0])) > 0.25
+    # estimator held: final per-scenario |p_est − p_true| bounded
+    est_err = jnp.linalg.norm(carry.est.x[:, 0:3] - carry.plant.pos, axis=-1)
+    assert float(jnp.max(est_err)) < 0.06, np.array(est_err)
+
+
 def test_ekf_velocity_error_bounded_during_trot():
     """kf_type=2: EKF velocity error stays bounded while walking (the
     reference consumes only v_world from the EKF, BaseInterface.cpp:330-337)."""

@@ -62,6 +62,53 @@ def test_fleet_dynamics_match_single():
     np.testing.assert_allclose(jnp.moveaxis(J_fleet, -1, 0), J_single, atol=1e-12)
 
 
+def test_structured_expansions_match_generic():
+    """The structured error-state discrete Jacobian (srb.quat_srb_error_
+    discrete_jac_fleet), its block decomposition (quat_srb_edj_blocks +
+    fleet._structured_q_terms), and the blockwise cost expansion must equal
+    the generic dense path E(x1)ᵀ·discretize(fj)·E(x) to fp round-off —
+    they are exact algebra over the model's sparsity, not approximations."""
+    import quaternion_mpc_tpu.solver.fleet as fl
+
+    spec = quat_mpc._fleet_spec()
+    args = _example_batch(batch=16, horizon=10, dtype=jnp.float64)
+    prob = quat_mpc.build_fleet_problem(*args, 10)
+    x = prob.x0
+    u = prob.us_init[0]
+    x1 = fl._fleet_step(spec, x, u, prob.params, prob.h)
+
+    # dense generic reference
+    Ad, Bd = fl._fleet_discrete_jac(spec, x, u, prob.params, prob.h)
+    E0 = fl._error_proj_bl(x, 3, 12)
+    E1 = fl._error_proj_bl(x1, 3, 12)
+    Ae_ref = fl.bmm(fl.bt(E1), fl.bmm(Ad, E0))
+    Be_ref = fl.bmm(fl.bt(E1), Bd)
+
+    Ae, Be = srb.quat_srb_error_discrete_jac_fleet(x, x1, u, prob.params, prob.h)
+    np.testing.assert_allclose(np.array(Ae), np.array(Ae_ref), atol=1e-14)
+    np.testing.assert_allclose(np.array(Be), np.array(Be_ref), atol=1e-14)
+
+    # block Q-terms vs dense products against a random value function
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((16, 12, 12))
+    Vxx = jnp.moveaxis(jnp.asarray(np.einsum("bij,bkj->bik", M, M)), 0, -1)
+    Vx = jnp.moveaxis(jnp.asarray(rng.standard_normal((16, 12))), 0, -1)
+    lam = jnp.zeros((prob.cb.shape[-2], 16), jnp.float64)
+    cbk = fl.cb_knots(prob.cb, 10)[0]
+    lx, lxx, lu, luu = fl.cost_expansion(
+        spec, x, u, prob.x_ref[0], prob.u_ref[0], lam, 10.0, prob, cbk
+    )
+    blocks = srb.quat_srb_edj_blocks(x, x1, u, prob.params, prob.h)
+    Qx, Qu, Qxx, Quu, Qux = fl._structured_q_terms(blocks, Vx, Vxx, lx, lxx, lu, luu)
+    AtV = fl.bmm(fl.bt(Ae_ref), Vxx)
+    BtV = fl.bmm(fl.bt(Be_ref), Vxx)
+    np.testing.assert_allclose(np.array(Qx), np.array(lx + fl.bmv(fl.bt(Ae_ref), Vx)), atol=1e-10)
+    np.testing.assert_allclose(np.array(Qu), np.array(lu + fl.bmv(fl.bt(Be_ref), Vx)), atol=1e-10)
+    np.testing.assert_allclose(np.array(Qxx), np.array(lxx + fl.bmm(AtV, Ae_ref)), atol=1e-10)
+    np.testing.assert_allclose(np.array(Quu), np.array(luu + fl.bmm(BtV, Be_ref)), atol=1e-10)
+    np.testing.assert_allclose(np.array(Qux), np.array(fl.bmm(BtV, Ae_ref)), atol=1e-10)
+
+
 def test_fleet_solver_matches_quat_fixture(fixtures_dir):
     with open(fixtures_dir / "quat_mpc_test.json") as f:
         fix = json.load(f)

@@ -134,6 +134,58 @@ def test_fleet_walking_shard_matches_single_device():
     )
 
 
+def test_fleet_estimated_shard_matches_single_device():
+    """The ESTIMATED fleet step — BasicKF state, per-scenario PRNG noise
+    keys, gait phase, and terrain estimator all in the sharded carry — over
+    the mesh == one device (VERDICT r4 #2: the DP axis must cover the full
+    sensors→KF→MPC→plant pipeline, not just the ground-truth SRB tiers).
+    Sensor noise is ON: the draws are keyed per scenario from the carried
+    keys, so sharded and single-device runs see identical noise."""
+    dtype = jnp.float32
+    wts = quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=dtype)
+    carry1, sp1 = rt.init_estimated_walking_scenario(wts, dtype=dtype, kf_type=1)
+    joy1 = rt.neutral_joy(dtype)._replace(velx=jnp.asarray(0.25, dtype))
+    B = 16
+    tile = lambda t: jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), t)
+    carry, sp, joy = tile(carry1), tile(sp1), tile(joy1)
+    vel = jnp.asarray(
+        np.random.default_rng(11).standard_normal((B, 3)) * 0.03, dtype
+    )
+    carry = carry._replace(
+        plant=carry.plant._replace(vel=vel),
+        key=jax.random.split(jax.random.PRNGKey(42), B),
+    )
+
+    m = mesh_mod.scenario_mesh()
+    fleet_step = rt.make_fleet_estimated_step(
+        horizon=4, opts=SolverOptions(al_iterations=1, ilqr_iterations=2),
+        kf_type=1, noise_acc=0.2, noise_gyro=0.02, noise_foot_vel=0.02,
+        noise_foot_pos=0.003,
+    )
+    sharded = jax.jit(mesh_mod.fleet_shard(fleet_step, m))
+    ref_step = jax.jit(fleet_step)
+
+    carry_s = mesh_mod.shard_batch(carry, m)
+    sp_s = mesh_mod.shard_batch(sp, m)
+    joy_s = mesh_mod.shard_batch(joy, m)
+    ref_carry = carry
+    for _ in range(3):
+        carry_s, metrics = sharded(carry_s, sp_s, joy_s)
+        ref_carry, ref_metrics = ref_step(ref_carry, sp, joy)
+    jax.block_until_ready(carry_s)
+
+    np.testing.assert_allclose(
+        np.array(carry_s.plant.pos), np.array(ref_carry.plant.pos), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.array(carry_s.est.x), np.array(ref_carry.est.x), atol=1e-4
+    )
+    assert float(metrics.alive) == B
+    np.testing.assert_allclose(
+        float(metrics.est_err), float(jnp.sum(ref_metrics.est_err)), rtol=1e-3
+    )
+
+
 def test_graft_dryrun():
     import __graft_entry__
 
