@@ -452,6 +452,7 @@ def cmd_run_hardware(args) -> dict:
         velx=args.velx,
         auto_rate=not args.no_auto_rate,
         async_mpc=args.async_mpc,
+        async_pullers=args.pullers,
     )
 
 
@@ -613,6 +614,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--async_mpc", action="store_true",
                    help="pipelined one-tick-delay MPC dispatch: rate bound "
                         "by solve throughput, not dispatch latency")
+    p.add_argument("--pullers", type=int, default=0,
+                   help="pipelined-POOL dispatch: N puller threads pay the "
+                        "result-pull RTT off the MPC thread's critical path "
+                        "(sequence-guarded publish, lead-compensated tick); "
+                        "sustains ~N/RTT command rate on a high-latency "
+                        "backend — e.g. 4 -> 100 Hz on the tunneled chip")
     p.set_defaults(fn=cmd_run_hardware)
     return ap
 

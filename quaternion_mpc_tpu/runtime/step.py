@@ -1683,10 +1683,30 @@ def make_estimated_actuated_step(
     mocap_warmup: int = 10,
     contact_threshold: float = 10.0,
     stance_kp_frac: float = 0.0,
+    pitch_preview: float = 0.0,
+    crouch: float = 0.0,
 ):
     """Estimator + torque layer + gait + terrain in ONE closed loop — the
     composition Gazebo mode actually runs (``GazeboInterface.cpp:58-82``
     fbk → est → ctrl → send cycle): the controller NEVER sees ground truth.
+
+    Full-height stair levers (r5, the PARITY.md "next lever" — the 0.17 m
+    kinematic wall is a POSTURE problem, not a contact problem):
+
+    - ``pitch_preview`` ∈ [0,1]: blends the reactive plane-fit pitch toward
+      the pitch implied by the UPCOMING foothold targets (front-minus-rear
+      target height over their separation). The reactive fit lags a full
+      stride; on a 0.17 m riser the front hip must already be raised when
+      the front leg swings, or the target sits at/above the hip plane and
+      IK clamps at the workspace edge.
+
+    - ``crouch`` (m): lowers the commanded torso height by up to this much,
+      scaled by the stance-foot height SPREAD (the straddle detector:
+      spread ≈ one rise while legs bridge two treads, ~0 on a single
+      tread). The rear legs are the height ceiling in a straddle — at full
+      extension they cap the torso exactly when the front legs need hip
+      height; giving up centimeters of height returns workspace to BOTH
+      (front targets drop below the raised-hip plane, rear legs unfold).
 
     Sensing (all derived, nothing oracular):
     - encoders: joint q/dq from the articulated plant;
@@ -1860,9 +1880,19 @@ def make_estimated_actuated_step(
                                       dt=sp.wts.h)
         n_stance = jnp.maximum(jnp.sum(plan_contacts), 1.0)
         ground_z = jnp.sum(foot_world_est[:, 2] * plan_contacts) / n_stance
+        # rear-leg CROUCH scheduling (see factory docstring): stance-foot
+        # height spread detects the riser straddle
+        target_h = sp.target_height
+        if crouch > 0.0:
+            stance_z = jnp.where(
+                plan_contacts > 0.5, foot_world_est[:, 2],
+                jnp.sum(foot_world_est[:, 2] * plan_contacts) / n_stance,
+            )
+            spread = jnp.max(stance_z) - jnp.min(stance_z)
+            target_h = target_h - crouch * jnp.clip(spread / 0.17, 0.0, 1.0)
         cmd = cmd._replace(
             pos_body_d=cmd.pos_body_d.at[2].set(
-                ground_z + sp.target_height - est_pos[2]
+                ground_z + target_h - est_pos[2]
             )
         )
         terr_est, pitch_d = kterr_mod.terrain_update(
@@ -1870,6 +1900,19 @@ def make_estimated_actuated_step(
             movement_mode=1, torso_height=est_pos[2] - ground_z,
             contact_weights=plan_contacts,
         )
+        if pitch_preview > 0.0:
+            # body-pitch PREVIEW from the upcoming foothold targets (sign
+            # convention of kin.terrain.terrain_update: front higher ⇒
+            # negative pitch = nose up)
+            front_t = 0.5 * (target_world[0] + target_world[1])
+            rear_t = 0.5 * (target_world[2] + target_world[3])
+            sep = jnp.maximum(
+                jnp.linalg.norm((front_t - rear_t)[:2]), 0.05
+            )
+            pitch_tgt = -jnp.arctan2(front_t[2] - rear_t[2], sep)
+            pitch_tgt = jnp.clip(pitch_tgt, -kterr_mod.MAX_TERRAIN_ANGLE,
+                                 kterr_mod.MAX_TERRAIN_ANGLE)
+            pitch_d = pitch_d + pitch_preview * (pitch_tgt - pitch_d)
         eul_d = lie.quat_to_euler(cmd.quat_d)
         cmd = cmd._replace(
             quat_d=lie.euler_to_quat(
