@@ -101,6 +101,24 @@ def crawl_pattern() -> GaitPattern:
     )
 
 
+def crawl_dwell_pattern() -> GaitPattern:
+    """Crawl with a short ALL-STANCE settle dwell after every swing (no
+    reference analog — the reference crawl chains swings back-to-back,
+    LeggedContactFSM.cpp:152-193). On full-height stairs the dwell gives
+    the MPC a four-leg window to re-center the body before the next
+    liftoff — the straddle-phase roll-over happens exactly when a swing
+    starts from an un-settled three-leg support."""
+    st, sw = STANCE, SWING
+    return _pattern(
+        [
+            [(sw, 0.20), (st, 1.0)],
+            [(st, 0.25), (sw, 0.45), (st, 1.0)],
+            [(st, 0.50), (sw, 0.70), (st, 1.0)],
+            [(st, 0.75), (sw, 0.95), (st, 1.0)],
+        ]
+    )
+
+
 def stand_pattern(n_legs: int = 4) -> GaitPattern:
     return _pattern([[(STANCE, 1.0)]] * n_legs)
 

@@ -1685,6 +1685,9 @@ def make_estimated_actuated_step(
     stance_kp_frac: float = 0.0,
     pitch_preview: float = 0.0,
     crouch: float = 0.0,
+    com_shift: float = 0.0,
+    edge_forward: bool = False,
+    rear_stride_bias: float = 0.0,
 ):
     """Estimator + torque layer + gait + terrain in ONE closed loop — the
     composition Gazebo mode actually runs (``GazeboInterface.cpp:58-82``
@@ -1707,6 +1710,15 @@ def make_estimated_actuated_step(
       extension they cap the torso exactly when the front legs need hip
       height; giving up centimeters of height returns workspace to BOTH
       (front targets drop below the raised-hip plane, rear legs unfold).
+
+    - ``com_shift`` ∈ [0,1]: quasi-static CoM scheduling for the crawl —
+      shifts the lateral body-position target toward the centroid of the
+      UPCOMING support polygon (read from the predicted contact schedule a
+      few knots ahead, so the shift happens BEFORE liftoff). The measured
+      0.17 m failure is a roll-over in the first swing after a front foot
+      lands on the high tread: support is one high front + two low rears,
+      and with the CoM still centered the body rolls toward the lifting
+      leg faster than the MPC's force plan can catch.
 
     Sensing (all derived, nothing oracular):
     - encoders: joint q/dq from the articulated plant;
@@ -1862,7 +1874,20 @@ def make_estimated_actuated_step(
         target_world, _ = raibert_mod.foothold_targets(
             est_pos, quat, est_vel, vel_d_rel, default_rel, gait_freq
         )
-        target_world = terrain_mod.snap_to_ground(tp, target_world)
+        if rear_stride_bias > 0.0:
+            # stair stride-length adaptation for the REAR pair (measured
+            # r5: with a 0.42 m axial hip span over 0.30 m runs, the rear
+            # Raibert targets stay behind the riser edge until the rear
+            # hips pass it — the rear feet repeatedly land short of the
+            # climb while the fronts are already two treads up, and the
+            # posture stretches to collapse; a forward bias lets the rear
+            # pair commit to the riser crossing a half-stride earlier)
+            target_world = target_world.at[2:, 0].add(
+                jnp.where(tp.kind == terrain_mod.STAIRS, rear_stride_bias, 0.0)
+            )
+        target_world = terrain_mod.snap_to_ground(
+            tp, target_world, edge_forward=edge_forward
+        )
 
         gait = sched_mod.gait_update(
             carry.gait, pattern, sp.wts.h, jnp.asarray(gait_freq, dtype),
@@ -1895,6 +1920,18 @@ def make_estimated_actuated_step(
                 ground_z + target_h - est_pos[2]
             )
         )
+        if com_shift > 0.0:
+            # quasi-static CoM scheduling (see factory docstring): target
+            # the lateral centroid of the support polygon a few knots AHEAD
+            ahead = (
+                mpc_contacts[min(3, horizon)] if per_knot_contacts
+                else plan_contacts
+            )
+            n_ahead = jnp.maximum(jnp.sum(ahead), 1.0)
+            y_c = jnp.sum(foot_body[:, 1] * ahead) / n_ahead
+            cmd = cmd._replace(
+                pos_body_d=cmd.pos_body_d.at[1].add(com_shift * y_c)
+            )
         terr_est, pitch_d = kterr_mod.terrain_update(
             carry.terrain_est, foot_world_est - est_pos,
             movement_mode=1, torso_height=est_pos[2] - ground_z,

@@ -156,7 +156,9 @@ def contact_probability(tp: TerrainParams, pos_world, force_normal, threshold=10
 FOOTHOLD_EDGE_MARGIN = 0.06  # m, min landing distance from a riser edge
 
 
-def snap_to_ground(tp: TerrainParams, pos_world: jnp.ndarray) -> jnp.ndarray:
+def snap_to_ground(
+    tp: TerrainParams, pos_world: jnp.ndarray, edge_forward: bool = False
+) -> jnp.ndarray:
     """Project a foothold target onto the terrain surface (replaces the
     flat-ground `target[..., 2] = 0` in the walking loop).
 
@@ -166,20 +168,29 @@ def snap_to_ground(tp: TerrainParams, pos_world: jnp.ndarray) -> jnp.ndarray:
     riser plane at the very end of its descent, grazing the face, and
     (b) sits exactly where a centimeter of state-estimate error aliases a
     full rise in the estimator's terrain height reference. Landing
-    mid-tread removes both failure modes at the source."""
+    mid-tread removes both failure modes at the source.
+
+    ``edge_forward``: resolution side for a target within ``margin`` PAST
+    an edge. False (default): fall BACK to the lower tread — safe for the
+    trot on moderate stairs, BUT it makes the band
+    [edge−margin, edge+margin) a one-way trap for a slowly-advancing leg:
+    both sides resolve BACKWARD, so consecutive Raibert targets pin the
+    foot at edge−margin while the torso walks on, stretching the leg to
+    collapse (measured r5: the rear feet never left tread 0 on the 0.17 m
+    crawl; the 'kinematic wall' was this trap, not leg length). True:
+    resolve to edge+margin — land ON the new tread just past the face
+    (nearest-side semantics); the vertical-first clearing swing handles
+    the late riser crossing. Use for climbing gaits."""
     x = pos_world[..., 0]
     base = tp.stair_run * jnp.floor(jnp.maximum(x, 0.0) / tp.stair_run)
     x_rel = x - base
     margin = jnp.minimum(FOOTHOLD_EDGE_MARGIN, 0.45 * tp.stair_run)
-    # a target within `margin` PAST a riser edge falls BACK to the lower
-    # tread (one short step) rather than forward onto the higher one — the
-    # forward choice commands a premature full-rise swing from a stride
-    # length away, which needs super-limit joint speeds; within `margin`
-    # BEFORE the next riser it pulls back on the same tread. The first
-    # riser is at x = run (the field is flat through x = 0), so the
-    # fall-back rule applies only for base > 0.
+    # the first riser is at x = run (the field is flat through x = 0), so
+    # the near-edge rule applies only for base > 0
+    near_edge = (x_rel < margin) & (base > 0.0)
+    resolved = base + margin if edge_forward else base - margin
     x_stairs = jnp.where(
-        (x_rel < margin) & (base > 0.0), base - margin,
+        near_edge, resolved,
         jnp.minimum(x, base + tp.stair_run - margin),
     )
     x_stairs = jnp.where(x > 0.0, x_stairs, x)

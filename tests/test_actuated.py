@@ -148,6 +148,52 @@ def test_crawl_up_moderate_stairs_articulated():
     assert z > 0.33, f"torso did not gain stair height (z={z:.3f})"
 
 
+def test_crouch_extends_full_height_stair_climb():
+    """The r5 full-height (0.17 m) stair levers, quantified: CROUCH
+    scheduling (straddle-spread-scaled height drop) measurably extends the
+    crawl up reference-height stairs — the baseline posture collapses with
+    the torso at x≈0.51 while the crouched one carries the climb through
+    the FIRST full riser and mounts the second tread (x≈0.63+) before the
+    remaining blocker (the post-landing front-swing roll-over, PARITY.md
+    'Known honest limits') ends the run. This asserts the measured margin
+    so a future fix or regression of either mechanism is visible."""
+    from quaternion_mpc_tpu.gait import schedule as sched_mod
+
+    wts = quat_mpc.weights_from_config(cfg_mod.gazebo_go1_quat_mpc(), dtype=DTYPE)
+    tp = tmod.make_terrain("stairs", stair_rise=0.17, stair_run=0.30, dtype=DTYPE)
+    pat = sched_mod.crawl_pattern()
+
+    def climb(crouch):
+        carry, sp = rt.init_estimated_actuated_scenario(
+            wts, dtype=DTYPE, kf_type=0, terrain=tp, start_x=-0.4, pattern=pat
+        )
+        joy = rt.neutral_joy(DTYPE)._replace(velx=jnp.asarray(0.15, DTYPE))
+        step = rt.make_estimated_actuated_step(
+            horizon=10, opts=OPTS, kf_type=0, gait_freq=1.0, pattern=pat,
+            crouch=crouch, stance_kp_frac=0.15,
+        )
+
+        @jax.jit
+        def roll(c):
+            def body(c_, _):
+                c2, _m = step(c_, sp, joy)
+                return c2, (c2.alive, c2.robot.torso.pos[0])
+            return jax.lax.scan(body, c, None, length=700)
+
+        _, (alive_tr, x_tr) = roll(carry)
+        return float(jnp.max(jnp.where(alive_tr, x_tr, -jnp.inf)))
+
+    x_base = climb(0.0)
+    x_crouch = climb(0.06)
+    # baseline reaches the first-riser straddle; crouch completes the first
+    # full riser and mounts the second tread (first riser at x=0.30,
+    # second at x=0.60)
+    assert x_crouch > 0.55, f"crouched climb regressed: x={x_crouch:.3f}"
+    assert x_crouch > x_base + 0.06, (
+        f"crouch no longer extends the climb: {x_crouch:.3f} vs {x_base:.3f}"
+    )
+
+
 def test_crawl_up_moderate_stairs_estimated():
     """Same climb WITHOUT ground truth: BasicKF with terrain-aware height
     references + riser de-weighting feeding the torque-level loop."""
