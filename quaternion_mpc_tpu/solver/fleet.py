@@ -53,7 +53,15 @@ def bmv(A, x):
 
 
 def bt(A):
-    """Transpose the matrix dims of (n, m, B)."""
+    """Transpose the matrix dims of (n, m, B).
+
+    Negative result (r5, v5e B=16384): rewriting the Riccati step's
+    `bmm(bt(A), ·)` patterns as leading-axis contractions
+    (Σ_k A[k,i]·B[k,j], the retired Pallas kernel's transpose-free form)
+    measured 175 ms vs 169 ms — XLA folds these transposes into the fused
+    reduce for free, and a reduce over the LEADING axis of the broadcast
+    product lays out worse than the axis-1 reduce. Keep the explicit bt().
+    """
     return jnp.swapaxes(A, 0, 1)
 
 
@@ -610,12 +618,23 @@ def riccati_backward(spec, prob, xs, us, lam, rho, reg, unroll: bool = False):
             spec, prob, carry, x, x1, u, x_ref, u_ref, k_lam, k_cb, rho, reg
         )
 
+    # The BACKWARD knot scan runs fully UNROLLED (N static, 10-30): the
+    # rolled while-loop's carry double-buffering + dynamic-update-slice
+    # output stacking were measured top-10 HBM consumers at fleet batch
+    # sizes; unrolling bought 169→156 ms at B=16k (r5). Asymmetry is real
+    # and measured: unrolling the forward ROLLOUT scans the same way made
+    # the step 173 ms — their alpha-vmapped bodies are cheap and the
+    # unrolled form defeats XLA's cross-knot fusion there — so only this
+    # scan unrolls. Iteration-level scans (AL, iLQR) stay rolled: their
+    # bodies are the whole knot program; unrolling them 10× explodes
+    # compile time for no bookkeeping win.
     with jax.named_scope("riccati_backward"):
         (_, _), (Ks, ds, dV1s, dV2s, gs) = jax.lax.scan(
             step,
             (lxN, lxxN),
             (xs[:-1], xs[1:], us, prob.x_ref[:-1], prob.u_ref[:-1], lam, cbs),
             reverse=True,
+            unroll=True,
         )
     return Ks, ds, jnp.sum(dV1s, axis=0), jnp.sum(dV2s, axis=0), jnp.max(gs, axis=0)
 
