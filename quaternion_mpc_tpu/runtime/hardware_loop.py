@@ -900,6 +900,7 @@ def run_hardware_loopback(
             est_rate = max(mpc_rate, 0.8 / est_wall)
         dt_est = 1.0 / est_rate
         est_bus = native.StateBus(_EST_BYTES)
+        pack_est = jax.jit(lambda p, v: jnp.concatenate([p, v]))
 
         def est_loop():
             loop = native.RateLoop(dt_est, realtime_priority)
@@ -918,9 +919,11 @@ def run_hardware_loopback(
                 kf_state, pos_e, vel_e, _c, _f = est_jit(
                     kf_state, sensors_e, jnp.asarray(dt_e, dtype), ap.rho_fix
                 )
-                est_bus.write(_est_to_bytes(
-                    np.asarray(pos_e), np.asarray(vel_e), sim_tick_e,
-                ))
+                # ONE device pull per est tick: on a high-RTT backend every
+                # pull costs a full round trip (see the pool-mode notes),
+                # so pos+vel come back as a single packed vector
+                pv = np.asarray(pack_est(pos_e, vel_e))
+                est_bus.write(_est_to_bytes(pv[:3], pv[3:6], sim_tick_e))
                 est_stats["ticks"] += 1
                 if dt_e > 0:
                     est_stats["updates"] += 1
@@ -957,7 +960,7 @@ def run_hardware_loopback(
     # per-tick results recorded for post-hoc bookkeeping.
     use_pool = async_pullers > 0
     pub_state = {"last_k": -1, "published": 0, "stale_dropped": 0,
-                 "staleness": []}
+                 "enqueue_dropped": 0, "staleness": []}
     pub_lock = threading.Lock()
     res_by_k = {}
     true_by_k = {}
@@ -1077,7 +1080,7 @@ def run_hardware_loopback(
                     (k, packed, info, sensors, time.perf_counter())
                 )
             except Exception:
-                pub_state["stale_dropped"] += 1  # pool saturated: skip tick
+                pub_state["enqueue_dropped"] += 1  # pool saturated: skip tick
             if n_prime <= k < t_walk_on:
                 if mpc_pos0 is None:
                     mpc_pos0 = true_pos
@@ -1180,6 +1183,7 @@ def run_hardware_loopback(
         "async_pullers": async_pullers,
         "cmds_published": pub_state["published"],
         "cmds_stale_dropped": pub_state["stale_dropped"],
+        "cmds_enqueue_dropped": pub_state["enqueue_dropped"],
         "publish_staleness_ms_p50": (
             float(np.median(pub_state["staleness"]) * 1e3)
             if pub_state["staleness"] else 0.0
