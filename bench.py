@@ -386,6 +386,32 @@ def main():
     est_p50 = _p50(lambda: estep_jit(ecarry, esp, ejoy)[0].plant.pos)
     est_sps = eB / est_p50
 
+    # ---- fleet RTI throughput: cross-tick primal warm start through the
+    # batch-last solver at the deployment budget (1 AL × 3 iLQR — the mode
+    # the closed-loop tests run; the reference's own SetState/SetInput warm
+    # starting taken fleet-wide). This is the realistic rate of a DEPLOYED
+    # fleet, where every tick after the first is warm ----
+    wcarry1, wsp1 = rt_step.init_walking_scenario(
+        ewts, dtype=dtype, warm_start=True, horizon=horizon
+    )
+    wjoy1 = rt_step.neutral_joy(dtype)._replace(velx=jnp.asarray(0.3, dtype))
+    wcarry = etile(wcarry1)
+    wsp = etile(wsp1)
+    wjoy = etile(wjoy1)
+    wcarry, wsp, wjoy = jax.device_put((wcarry, wsp, wjoy), dev)
+    wstep_jit = jax.jit(rt_step.make_fleet_walking_step(
+        horizon=horizon,
+        opts=SolverOptions(al_iterations=1, ilqr_iterations=3,
+                           penalty_initial=10.0, max_linesearch=8),
+        warm_start=True,
+    ))
+    # settle into the warm regime before timing
+    for _ in range(3):
+        wcarry, _wm = wstep_jit(wcarry, wsp, wjoy)
+    jax.block_until_ready(wcarry.plant.pos)
+    rti_p50 = _p50(lambda: wstep_jit(wcarry, wsp, wjoy)[0].plant.pos)
+    rti_sps = eB / rti_p50
+
     # ---- measured HBM roofline position (device trace). Placed AFTER all
     # _p50/block_until_ready throughput timing: its device->host pulls flip
     # the backend into the ~25 ms-per-dispatch sync mode (see module
@@ -495,6 +521,11 @@ def main():
         f"{est_p50*1e3:.2f} ms, {est_sps:,.0f} solves/s",
         file=sys.stderr,
     )
+    print(
+        f"[bench] fleet RTI (warm 1ALx3, walking loop) batch={eB}: p50 step "
+        f"{rti_p50*1e3:.2f} ms, {rti_sps:,.0f} solves/s",
+        file=sys.stderr,
+    )
     for label, tick_s in lat_rows:
         print(
             f"[bench] latency B=1 {label}: {tick_s*1e3:.3f} ms/tick "
@@ -549,6 +580,7 @@ def main():
         "meets_2ms_north_star_cold": bool(lat_rows[0][1] * 1e3 < 2.0),
         "convex_solves_per_sec": round(convex_sps, 1),
         "estimated_fleet_solves_per_sec": round(est_sps, 1),
+        "fleet_rti_solves_per_sec": round(rti_sps, 1),
         "dispatch_floor_ms": round(floor_ms, 2),
         "f32_fixture_ok": f32_ok,
         # >16k batch collapse mechanism (measured, r5 device profile):
